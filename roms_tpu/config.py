@@ -1,0 +1,182 @@
+"""Model configuration.
+
+Replaces the reference's two-level compile-time CPP + runtime keyword system
+(ROMS/Include/cppdefs.h, ROMS/Utility/read_phypar.F) with a single frozen,
+hashable dataclass.  Feature selection happens by jit specialization: branches
+that a Config disables are traced out, which plays the role of the reference's
+textual preprocessing (dead code compiled out).
+
+All fields are plain Python values (hashable) so a Config can be closed over
+by / passed statically to jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+# Lateral boundary condition kinds, per field & side.  Reference:
+# ROMS/Nonlinear/zetabc.F:108-238, u2dbc_im.F, t3dbc_im.F, and the
+# LBC keyword grid in roms_*.in (order: West, South, East, North).
+BC_PERIODIC = "Per"
+BC_CLOSED = "Clo"
+BC_GRADIENT = "Gra"
+BC_CLAMPED = "Cla"
+BC_RADIATION = "Rad"
+BC_CHAPMAN_EXPLICIT = "Che"
+BC_CHAPMAN_IMPLICIT = "Chi"
+BC_FLATHER = "Fla"
+
+
+@dataclass(frozen=True)
+class LBC:
+    """Boundary condition selection for one field: (west, south, east, north)."""
+
+    west: str = BC_CLOSED
+    south: str = BC_CLOSED
+    east: str = BC_CLOSED
+    north: str = BC_CLOSED
+
+    @staticmethod
+    def periodic_ew() -> "LBC":
+        return LBC(west=BC_PERIODIC, east=BC_PERIODIC)
+
+    @staticmethod
+    def periodic_ns() -> "LBC":
+        return LBC(south=BC_PERIODIC, north=BC_PERIODIC)
+
+    @staticmethod
+    def doubly_periodic() -> "LBC":
+        return LBC(BC_PERIODIC, BC_PERIODIC, BC_PERIODIC, BC_PERIODIC)
+
+
+@dataclass(frozen=True)
+class Config:
+    """Static model configuration (grid sizes, schemes, coefficients).
+
+    Field groups mirror the reference's runtime inputs (roms_*.in) and the
+    per-application CPP headers (ROMS/Include/<app>.h).
+    """
+
+    name: str = "roms_tpu"
+
+    # --- Grid dimensions (interior rho points; mod_param.F:443-444) ---
+    Lm: int = 41          # xi-direction interior points
+    Mm: int = 80          # eta-direction interior points
+    N: int = 16           # vertical levels
+    ntracers: int = 2     # NT: temp, salt, + passive
+    halo: int = 3         # ghost width (NghostPoints; inp_par.F:275-280)
+
+    # --- Periodicity (implied by LBC but used pervasively) ---
+    ew_periodic: bool = True
+    ns_periodic: bool = False
+    spherical: bool = False
+
+    # --- Time stepping (roms_*.in: DT, NDTFAST, NTIMES) ---
+    dt: float = 300.0       # baroclinic step (s)
+    ndtfast: int = 30       # barotropic substeps per baroclinic step
+    nfast: int = 0          # actual fast loop length; set by finalize()
+    dstart: float = 0.0     # start day
+    solve3d: bool = True
+
+    # --- Vertical coordinate (set_scoord.F) ---
+    vtransform: int = 2
+    vstretching: int = 4
+    theta_s: float = 3.0
+    theta_b: float = 0.0
+    tcline: float = 25.0
+    hmin: float = 0.0       # filled by grid builder (min bathymetry)
+
+    # --- Physics switches (cppdefs.h equivalents) ---
+    uv_adv: bool = True         # UV_ADV
+    uv_cor: bool = True         # UV_COR
+    uv_vis2: bool = True        # UV_VIS2 (harmonic)
+    uv_vis4: bool = False       # UV_VIS4 (biharmonic)
+    ts_dif2: bool = False       # TS_DIF2
+    ts_dif4: bool = False       # TS_DIF4
+    curvgrid: bool = False      # CURVGRID metric terms
+    var_rho_2d: bool = False    # VAR_RHO_2D baroclinic correction in step2d
+    splines_vdiff: bool = True  # SPLINES_VDIFF
+    splines_vvisc: bool = True  # SPLINES_VVISC
+    wetdry: bool = False
+
+    # Bottom drag: one of "linear" (UV_LDRAG), "quadratic" (UV_QDRAG),
+    # "logarithmic" (UV_LOGDRAG), or None.
+    bottom_drag: Optional[str] = "linear"
+    rdrg: float = 3.0e-4        # linear drag (m/s)
+    rdrg2: float = 3.0e-3       # quadratic drag (nondim)
+    zob: float = 0.02           # bottom roughness (m)
+
+    # --- Mixing coefficients ---
+    visc2: float = 5.0                      # m2/s harmonic momentum
+    visc4: float = 0.0                      # biharmonic momentum
+    tnu2: Tuple[float, ...] = (0.0, 0.0)    # per-tracer harmonic
+    tnu4: Tuple[float, ...] = (0.0, 0.0)
+    akv_bak: float = 1.0e-5                 # background vertical viscosity
+    akt_bak: Tuple[float, ...] = (1.0e-6, 1.0e-6)
+    # Vertical closure: None (constant background), "ana", "gls", "kpp",
+    # "my25", "bvf".
+    vmix: Optional[str] = None
+
+    # --- Pressure gradient scheme: "djs" = splines density Jacobian
+    # (prsgrd32.h, DJ_GRADPS default), "dj" = standard density Jacobian
+    # (prsgrd31.h) ---
+    prsgrd_scheme: str = "djs"
+
+    # --- Equation of state: "linear" or "jm95" (Jackett & McDougall) ---
+    eos: str = "linear"
+    rho0: float = 1025.0
+    R0: float = 1027.0
+    T0: float = 14.0
+    S0: float = 35.0
+    Tcoef: float = 1.7e-4
+    Scoef: float = 0.0
+
+    # --- Momentum advection scheme in 3D rhs ("U3" 3rd upstream-biased
+    # horizontal + splines/C4 vertical is the ROMS default; rhs3d.F) ---
+    uv_hadv: str = "U3"
+    uv_vadv: str = "SPLINES"
+
+    # --- Tracer advection, per tracer (tadv.F:146-178) ---
+    t_hadv: Tuple[str, ...] = ("U3", "U3")
+    t_vadv: Tuple[str, ...] = ("C4", "C4")
+
+    # --- Lateral BCs per field (LBC keyword grid) ---
+    lbc_zeta: LBC = LBC.periodic_ew()
+    lbc_ubar: LBC = LBC.periodic_ew()
+    lbc_vbar: LBC = LBC.periodic_ew()
+    lbc_u: LBC = LBC.periodic_ew()
+    lbc_v: LBC = LBC.periodic_ew()
+    lbc_t: LBC = LBC.periodic_ew()
+
+    gamma2: float = 1.0     # slipperiness (1=free slip, -1=no slip)
+    g_override: Optional[float] = None  # nondimensional cases (SOLITON g=1)
+
+    # --- Numerics ---
+    dtype: str = "float64"
+
+    # -------------------------------------------------------------------
+    @property
+    def dtfast(self) -> float:
+        return self.dt / self.ndtfast
+
+    @property
+    def nx_tot(self) -> int:
+        return self.Lm + 2 * self.halo
+
+    @property
+    def ny_tot(self) -> int:
+        return self.Mm + 2 * self.halo
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def index_of(cfg: Config, roms_index: int) -> int:
+    """Map a ROMS-convention index (rho interior 1..Lm) to padded array index.
+
+    The padded arrays cover ROMS indices ``1-halo .. Lm+halo`` (the DISTRIBUTE
+    allocation bounds with NghostPoints=halo), so array index = i + halo - 1.
+    """
+    return roms_index + cfg.halo - 1
