@@ -1,0 +1,69 @@
+"""Benchmark driver: BENCHMARK1-class workload on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: the reference's BENCHMARK1 grid size (512x64x30, DT=150 s,
+NDTFAST=20; ROMS/External/roms_benchmark1.in:94-96,224-226) run with the
+UPWELLING physics set (the closure/bulk-flux physics land in a later
+round), float32, full split-explicit stepping.
+
+vs_baseline is the measured fraction of an HBM-bandwidth roofline estimate
+(BASELINE.md cost model: all stencil sweeps are bandwidth-bound;
+bytes/point/step estimated below), since the reference repo publishes no
+throughput numbers (BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+import jax
+import numpy as np
+
+
+def main():
+    from roms_tpu.models import upwelling
+    from roms_tpu import stepping
+
+    Lm, Mm, N = 512, 64, 30
+    cfg = upwelling.make_config(Lm=Lm, Mm=Mm, N=N, dt=150.0, ndtfast=20,
+                                dtype="float32")
+    cfg, grid, state, ffn = upwelling.build(cfg)
+
+    nsteps = 10
+    runN = jax.jit(lambda s: stepping.run(cfg, grid, s, nsteps, ffn))
+    state = runN(state)                      # compile + warmup
+    jax.block_until_ready(state)
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state = runN(state)
+    jax.block_until_ready(state)
+    dt_wall = (time.perf_counter() - t0) / (reps * nsteps)
+
+    pts = Lm * Mm * N
+    pts_per_sec = pts / dt_wall
+
+    # HBM roofline estimate: ~ nfast fast 2-D sweeps (~14 array reads+writes
+    # each over (Ny,Nx)) + ~25 3-D array passes, 4 B each in f32.
+    dev = jax.devices()[0]
+    hbm_bw = 8.2e11 if "v5" in str(dev.device_kind).lower() else 9.0e11
+    bytes_per_col = cfg.nfast * 14 * 2 * 4.0          # fast 2-D traffic
+    bytes_per_pt = 25 * 2 * 4.0 + bytes_per_col / N   # slow 3-D traffic
+    roofline_pts = hbm_bw / bytes_per_pt
+    finite = bool(np.isfinite(np.asarray(state.zeta)).all())
+
+    print(json.dumps({
+        "metric": "BENCHMARK1-grid (512x64x30) points/sec/chip"
+                  + ("" if finite else " [NONFINITE]"),
+        "value": round(pts_per_sec, 1),
+        "unit": "grid-points/s/chip",
+        "vs_baseline": round(pts_per_sec / roofline_pts, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""LF-AM3 predictor stage (reference ROMS/Nonlinear/pre_step3d.F).
+
+Computes:
+ * t3      - intermediate tracers at n+1/2 (slot 3 in the reference),
+ * t_nnew  - mass-weighted tracers initialized with surface/bottom flux
+             contributions (m Tunits),
+ * u_nnew/v_nnew - mass-weighted momentum initialized with the AB3 history
+             terms and surface/bottom stresses (m2/s).
+
+The implicit weighting lambda = 1 (mod_scalars.F) makes the explicit
+vertical-diffusion part vanish; only the dt*flux boundary terms remain.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import Config
+from ..grid import Grid
+from . import bc
+from .advection import hadv_fluxes, vadv_flux
+from .stencil import ip1, im1, jp1, jm1
+
+
+def pre_step3d(cfg: Config, grid: Grid, iic, t, t_prev, u, v,
+               Hz, z_r, Huon, Hvom, W, Akt,
+               sustr, svstr, bustr, bvstr, stflx, btflx,
+               ru_prev, ru_prev2, rv_prev, rv_prev2):
+    dt = cfg.dt
+    pm, pn = grid.pm, grid.pn
+    pmn = pm * pn
+    iic = jnp.asarray(iic)
+    dtype = u.dtype
+    lam = 1.0  # mod_scalars lambda
+
+    # ---------------- tracers: intermediate t3 at n+1/2 ----------------
+    t3_list = []
+    tn_list = []
+    for itrc in range(cfg.ntracers):
+        hscheme = cfg.t_hadv[itrc]
+        vscheme = cfg.t_vadv[itrc]
+        gam_h = 0.5 if hscheme in ("MPDATA", "HSIMT") else 1.0 / 6.0
+        gam_v = 0.5 if vscheme in ("MPDATA", "HSIMT") else 1.0 / 6.0
+        # MPDATA/HSIMT use first-order upstream fluxes in the predictor
+        fx_scheme = "U1" if hscheme in ("MPDATA", "HSIMT") else hscheme
+        fv_scheme = "U1" if vscheme in ("MPDATA", "HSIMT") else vscheme
+
+        FX, FE = hadv_fluxes(cfg, fx_scheme, t[itrc], Huon, Hvom)
+        cff = jnp.where(iic == 0, 0.5 * dt, (1.0 - gam_h) * dt).astype(dtype)
+        cff1 = jnp.where(iic == 0, 1.0, 0.5 + gam_h).astype(dtype)
+        cff2 = jnp.where(iic == 0, 0.0, 0.5 - gam_h).astype(dtype)
+        t3 = Hz * (cff1 * t[itrc] + cff2 * t_prev[itrc]) - \
+            cff * pmn * ((ip1(FX) - FX) + (jp1(FE) - FE))
+
+        # vertical advection + artificial continuity (pre_step3d.F:556-598)
+        FC = vadv_flux(fv_scheme, t[itrc], W, Hz, "predictor")
+        cffv = jnp.where(iic == 0, 0.5 * dt, (1.0 - gam_v) * dt).astype(dtype)
+        DC = 1.0 / (Hz - cffv * pmn *
+                    ((ip1(Huon) - Huon) + (jp1(Hvom) - Hvom) +
+                     (W[1:] - W[:-1])))
+        t3 = DC * (t3 - cffv * pmn * (FC[1:] - FC[:-1]))
+        t3 = bc.apply_bc_rho(cfg, cfg.lbc_t, t3)
+        t3_list.append(t3)
+
+        # start t(nnew): explicit part of vertical diffusion + flux BCs
+        ltrc = min(1, itrc) if cfg.ntracers >= 2 else 0
+        if lam != 1.0:
+            FCd = dt * (1.0 - lam) * Akt[ltrc][1:-1] * \
+                (t[itrc][1:] - t[itrc][:-1]) / (z_r[1:] - z_r[:-1])
+        else:
+            FCd = jnp.zeros_like(W[1:-1])
+        FCd = jnp.concatenate(
+            [dt * btflx[itrc][None], FCd, dt * stflx[itrc][None]], axis=0)
+        tn_list.append(Hz * t[itrc] + (FCd[1:] - FCd[:-1]))
+
+    t3 = jnp.stack(t3_list, axis=0) if t3_list else t
+    t_nnew = jnp.stack(tn_list, axis=0) if tn_list else t
+
+    # ---------------- momentum: start u(nnew)/v(nnew) ----------------
+    # AB3 startup ladder (pre_step3d.F:659-700): coefficients applied to
+    # (r_{n-2}, r_{n-1}) histories; the 23/12 r_n term is added later in
+    # step3d_uv once the new RHS exists.
+    a1 = jnp.where(iic <= 1, 0.0, 5.0 / 12.0).astype(dtype)
+    a2 = jnp.where(iic == 0, 0.0,
+                   jnp.where(iic == 1, -0.5, -16.0 / 12.0)).astype(dtype)
+
+    DC0u = dt * 0.25 * (pm + im1(pm)) * (pn + im1(pn))
+    FCu = jnp.concatenate(
+        [dt * bustr[None], jnp.zeros_like(u[1:]), dt * sustr[None]], axis=0)
+    u_nnew = u * 0.5 * (Hz + im1(Hz)) + \
+        DC0u * (a1 * ru_prev2 + a2 * ru_prev) + (FCu[1:] - FCu[:-1])
+
+    DC0v = dt * 0.25 * (pm + jm1(pm)) * (pn + jm1(pn))
+    FCv = jnp.concatenate(
+        [dt * bvstr[None], jnp.zeros_like(v[1:]), dt * svstr[None]], axis=0)
+    v_nnew = v * 0.5 * (Hz + jm1(Hz)) + \
+        DC0v * (a1 * rv_prev2 + a2 * rv_prev) + (FCv[1:] - FCv[:-1])
+
+    return t3, t_nnew, u_nnew, v_nnew

@@ -1,0 +1,128 @@
+"""Slow momentum RHS assembly (reference ROMS/Nonlinear/rhs3d.F).
+
+Adds to the pressure-gradient ru/rv (from prsgrd): Coriolis, curvilinear
+metric terms, 3rd-order upstream-biased horizontal advection with
+velocity-dependent hyperdiffusion (Gadv=-0.25), and 4th-order centered
+vertical advection; then vertically integrates into the barotropic forcing
+rufrc/rvfrc and adds the surface/bottom stress difference.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import Config
+from ..grid import Grid
+from . import bc
+from .stencil import ip1, im1, jp1, jm1
+
+GADV = -0.25
+
+
+def rhs3d_momentum(cfg: Config, grid: Grid, u, v, Huon, Hvom, W, Hz,
+                   ru, rv, sustr, svstr, bustr, bvstr):
+    H = cfg.halo
+    L, M = cfg.Lm, cfg.Mm
+
+    # ---- Coriolis (rhs3d.F:181-207) ----
+    if cfg.uv_cor:
+        cor = 0.5 * Hz * grid.fomn
+        UFx = cor * (v + jp1(v))
+        VFe = cor * (u + ip1(u))
+        ru = ru + 0.5 * (UFx + im1(UFx))
+        rv = rv - 0.5 * (VFe + jm1(VFe))
+
+    # ---- curvilinear metric advection terms (rhs3d.F CURVGRID) ----
+    if cfg.curvgrid and cfg.uv_adv:
+        cff = 0.5 * (v + jp1(v)) * grid.dndx - \
+            0.5 * (u + ip1(u)) * grid.dmde
+        cff_u = Hz * cff * 0.5 * (u + ip1(u))
+        cff_v = Hz * cff * 0.5 * (v + jp1(v))
+        ru = ru + 0.5 * (cff_v + im1(cff_v))
+        rv = rv - 0.5 * (cff_u + jm1(cff_u))
+
+    if cfg.uv_adv:
+        # ---- U3 horizontal advection (rhs3d.F:244-430) ----
+        uxx = im1(u) - 2.0 * u + ip1(u)
+        Huxx = im1(Huon) - 2.0 * Huon + ip1(Huon)
+        uxx = bc.extrap_west(cfg, uxx, H)
+        Huxx = bc.extrap_west(cfg, Huxx, H)
+        uxx = bc.extrap_east(cfg, uxx, H + L)
+        Huxx = bc.extrap_east(cfg, Huxx, H + L)
+        cff1 = u + ip1(u)
+        cup = jnp.where(cff1 > 0.0, uxx, ip1(uxx))
+        UFx = 0.25 * (cff1 + GADV * cup) * (
+            Huon + ip1(Huon) + GADV * 0.5 * (Huxx + ip1(Huxx)))
+
+        uee = jm1(u) - 2.0 * u + jp1(u)
+        uee = bc.extrap_south(cfg, uee, H - 1)
+        uee = bc.extrap_north(cfg, uee, H + M)
+        Hvxx = im1(Hvom) - 2.0 * Hvom + ip1(Hvom)
+        cff1 = u + jm1(u)
+        cff2 = Hvom + im1(Hvom)
+        cup = jnp.where(cff2 > 0.0, jm1(uee), uee)
+        UFe = 0.25 * (cff1 + GADV * cup) * (
+            cff2 + GADV * 0.5 * (Hvxx + im1(Hvxx)))
+
+        vxx = im1(v) - 2.0 * v + ip1(v)
+        vxx = bc.extrap_west(cfg, vxx, H - 1)
+        vxx = bc.extrap_east(cfg, vxx, H + L)
+        Huee = jm1(Huon) - 2.0 * Huon + jp1(Huon)
+        cff1 = v + im1(v)
+        cff2 = Huon + jm1(Huon)
+        cup = jnp.where(cff2 > 0.0, im1(vxx), vxx)
+        VFx = 0.25 * (cff1 + GADV * cup) * (
+            cff2 + GADV * 0.5 * (Huee + jm1(Huee)))
+
+        vee = jm1(v) - 2.0 * v + jp1(v)
+        Hvee = jm1(Hvom) - 2.0 * Hvom + jp1(Hvom)
+        vee = bc.extrap_south(cfg, vee, H)
+        Hvee = bc.extrap_south(cfg, Hvee, H)
+        vee = bc.extrap_north(cfg, vee, H + M)
+        Hvee = bc.extrap_north(cfg, Hvee, H + M)
+        cff1 = v + jp1(v)
+        cup = jnp.where(cff1 > 0.0, vee, jp1(vee))
+        VFe = 0.25 * (cff1 + GADV * cup) * (
+            Hvom + jp1(Hvom) + GADV * 0.5 * (Hvee + jp1(Hvee)))
+
+        ru = ru - (UFx - im1(UFx)) - (jp1(UFe) - UFe)
+        rv = rv - (ip1(VFx) - VFx) - (VFe - jm1(VFe))
+
+        # ---- 4th-order vertical advection (rhs3d.F:433-520) ----
+        c1, c2 = 9.0 / 16.0, 1.0 / 16.0
+        N = u.shape[0]
+
+        Wu = c1 * (W + im1(W)) - c2 * (ip1(W) + shift2w(W))
+        # interior k=2..N-2
+        flux_int = (c1 * (u[1:-2] + u[2:-1]) - c2 * (u[:-3] + u[3:])) * \
+            Wu[2:-2]
+        f1 = ((c1 * (u[0] + u[1]) - c2 * (u[0] + u[2])) * Wu[1])[None]
+        fNm1 = ((c1 * (u[N - 2] + u[N - 1]) -
+                 c2 * (u[N - 3] + u[N - 1])) * Wu[N - 1])[None]
+        zero = jnp.zeros_like(f1)
+        FCu = jnp.concatenate([zero, f1, flux_int, fNm1, zero], axis=0)
+        ru = ru - (FCu[1:] - FCu[:-1])
+
+        Wv = c1 * (W + jm1(W)) - c2 * (jp1(W) + shift2s(W))
+        flux_int = (c1 * (v[1:-2] + v[2:-1]) - c2 * (v[:-3] + v[3:])) * \
+            Wv[2:-2]
+        f1 = ((c1 * (v[0] + v[1]) - c2 * (v[0] + v[2])) * Wv[1])[None]
+        fNm1 = ((c1 * (v[N - 2] + v[N - 1]) -
+                 c2 * (v[N - 3] + v[N - 1])) * Wv[N - 1])[None]
+        FCv = jnp.concatenate([zero, f1, flux_int, fNm1, zero], axis=0)
+        rv = rv - (FCv[1:] - FCv[:-1])
+
+    # ---- vertical integral -> barotropic forcing (rhs3d.F:523-559) ----
+    rufrc = jnp.sum(ru, axis=0) + (sustr - bustr) * grid.om_u * grid.on_u
+    rvfrc = jnp.sum(rv, axis=0) + (svstr - bvstr) * grid.om_v * grid.on_v
+    return ru, rv, rufrc, rvfrc
+
+
+def shift2w(a):
+    """a[..., i-2] accessor (W(i-2) in the u-point interpolation)."""
+    return jnp.roll(a, 2, axis=-1)
+
+
+def shift2s(a):
+    """a[..., j-2, :] accessor."""
+    return jnp.roll(a, 2, axis=-2)

@@ -1,0 +1,49 @@
+"""Tracer corrector (reference ROMS/Nonlinear/step3d_t.F).
+
+Horizontal advection of the intermediate tracer t3 with the per-tracer
+scheme, vertical advection, implicit vertical diffusion (parabolic-spline
+reconstruction under SPLINES_VDIFF, else standard tridiagonal), lateral
+BCs.  MPDATA's corrector is not yet implemented (HSIMT/MPDATA planned).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import Config
+from ..grid import Grid
+from . import bc
+from .advection import hadv_fluxes, vadv_flux
+from .stencil import ip1, jp1
+from .tridiag import spline_vdiff_flux, thomas_implicit
+
+
+def step3d_t(cfg: Config, grid: Grid, iic, t_nnew, t3, Huon, Hvom, W,
+             Hz_new, z_r_new, Akt):
+    dt = cfg.dt
+    pmn = grid.pm * grid.pn
+    oHz = 1.0 / Hz_new
+    out = []
+    for itrc in range(cfg.ntracers):
+        hscheme = cfg.t_hadv[itrc]
+        vscheme = cfg.t_vadv[itrc]
+        if hscheme in ("MPDATA",) or vscheme in ("MPDATA",):
+            raise NotImplementedError("MPDATA corrector not yet implemented")
+
+        FX, FE = hadv_fluxes(cfg, hscheme, t3[itrc], Huon, Hvom)
+        tn = t_nnew[itrc] - dt * pmn * ((ip1(FX) - FX) + (jp1(FE) - FE))
+
+        FC = vadv_flux(vscheme, t3[itrc], W, Hz_new, "corrector")
+        tn = (tn - dt * pmn * (FC[1:] - FC[:-1])) * oHz
+
+        ltrc = min(1, itrc) if cfg.ntracers >= 2 else 0
+        if cfg.splines_vdiff:
+            flux = spline_vdiff_flux(dt, Hz_new, oHz, Akt[ltrc], tn)
+            tn = tn + dt * oHz * (flux[1:] - flux[:-1])
+        else:
+            tn = thomas_implicit(dt, 1.0, Hz_new, z_r_new, Akt[ltrc],
+                                 tn * Hz_new)
+
+        tn = bc.apply_bc_rho(cfg, cfg.lbc_t, tn)
+        out.append(tn)
+    return jnp.stack(out, axis=0)

@@ -1,0 +1,155 @@
+"""Baroclinic time-step orchestrator.
+
+Functional re-implementation of the reference's main3d step loop
+(ROMS/Nonlinear/main3d.F:183-868): one call advances the full State by one
+slow step (including the nfast-substep barotropic engine).  The call order
+mirrors main3d exactly; all stage kernels live in roms_tpu/ops/.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import Config
+from .grid import Grid, hc_of
+from .state import State
+from . import vgrid
+from .ops import bc, eos, prsgrd
+from .ops.omega import set_massflux, omega
+from .ops.vbc import set_vbc
+from .ops.pre_step3d import pre_step3d
+from .ops.rhs3d import rhs3d_momentum
+from .ops.mix3d import uv3dmix2, t3dmix2
+from .ops.step2d import Fast2DState, fast_loop
+from .ops.step3d_uv import step3d_uv
+from .ops.step3d_t import step3d_t
+
+
+def step(cfg: Config, grid: Grid, state: State,
+         forcing_fn: Optional[Callable] = None) -> State:
+    """One slow (baroclinic) step.  forcing_fn(cfg, grid, time) returns a
+    dict with sustr, svstr (kinematic wind stress, m2/s2) and stflux,
+    btflux ((NT,Ny,Nx) surface/bottom tracer fluxes); the analytic-forcing
+    analog of get_data/set_data + ana_smflux/ana_stflux."""
+    hc = hc_of(cfg)
+    dtype = state.zeta.dtype
+    zero2 = jnp.zeros_like(state.zeta)
+
+    # --- forcing (main3d.F:207-222) ---
+    if forcing_fn is not None:
+        frc = forcing_fn(cfg, grid, state.time)
+    else:
+        frc = {}
+    nt = max(cfg.ntracers, 1)
+    sustr = frc.get("sustr", zero2)
+    svstr = frc.get("svstr", zero2)
+    stflux = frc.get("stflux", jnp.zeros((nt,) + zero2.shape, dtype))
+    btflux = frc.get("btflux", jnp.zeros((nt,) + zero2.shape, dtype))
+
+    # --- vertical grid and mass fluxes at time n (main3d.F:307) ---
+    z_r, z_w, Hz = vgrid.set_depth(grid.h, state.zeta, hc, grid.sc_r,
+                                   grid.Cs_r, grid.sc_w, grid.Cs_w,
+                                   cfg.vtransform)
+    Huon, Hvom = set_massflux(cfg, grid, state.u, state.v, Hz)
+
+    # --- density (main3d.F:314) ---
+    rho = eos.rho_eos(cfg, state.t, z_r)
+
+    # --- surface/bottom fluxes (main3d.F:386-396) ---
+    bustr, bvstr, stflx, btflx = set_vbc(cfg, grid, state.u, state.v,
+                                         state.t, stflux, btflux)
+
+    # --- vertical mixing coefficients (main3d.F:465-469) ---
+    Akv, Akt = state.Akv, state.Akt   # closures (GLS/KPP) plug in here
+
+    # --- omega at time n (main3d.F:474) ---
+    W = omega(cfg, grid, Huon, Hvom, z_w)
+
+    # --- rhs3d phase (main3d.F:563): pre_step3d, prsgrd, t3dmix, rhs,
+    #     uv3dmix ---
+    t3, t_nnew, u_nnew, v_nnew = pre_step3d(
+        cfg, grid, state.iic, state.t, state.t_prev, state.u, state.v,
+        Hz, z_r, Huon, Hvom, W, Akt,
+        sustr, svstr, bustr, bvstr, stflx, btflx,
+        state.ru_prev, state.ru_prev2, state.rv_prev, state.rv_prev2)
+
+    ru, rv = prsgrd.prsgrd(cfg, grid, rho, z_r, z_w, Hz)
+
+    if any(x != 0.0 for x in cfg.tnu2):
+        t_nnew = t3dmix2(cfg, grid, state.t, Hz, t_nnew, cfg.dt)
+
+    ru, rv, rufrc, rvfrc = rhs3d_momentum(
+        cfg, grid, state.u, state.v, Huon, Hvom, W, Hz, ru, rv,
+        sustr, svstr, bustr, bvstr)
+
+    if cfg.uv_vis2 and cfg.visc2 != 0.0:
+        u_nnew, v_nnew, rufrc, rvfrc = uv3dmix2(
+            cfg, grid, state.u, state.v, Hz, u_nnew, v_nnew,
+            rufrc, rvfrc, cfg.dt)
+
+    # --- fast barotropic loop (main3d.F:592-713) ---
+    fs = Fast2DState(
+        zeta_n=state.zeta, zeta_nm1=state.zeta,
+        ubar_n=state.ubar, ubar_nm1=state.ubar,
+        vbar_n=state.vbar, vbar_nm1=state.vbar,
+        rzeta_n=state.rzeta, rzeta_nm1=zero2,
+        rubar_n=state.rubar, rubar_nm1=zero2,
+        rvbar_n=state.rvbar, rvbar_nm1=zero2,
+        Zt_avg1=zero2, DU_avg1=zero2, DV_avg1=zero2,
+        DU_avg2=zero2, DV_avg2=zero2)
+    fs, rufrc_c, rvfrc_c = fast_loop(
+        cfg, grid, fs, rufrc=rufrc, rvfrc=rvfrc,
+        ru0_nm1=state.rufrc0_prev, ru0_nm2=state.rufrc0_prev2,
+        rv0_nm1=state.rvfrc0_prev, rv0_nm2=state.rvfrc0_prev2,
+        iic=state.iic)
+
+    # --- new depths from the filtered free surface (main3d.F:736) ---
+    z_r2, z_w2, Hz2 = vgrid.set_depth(grid.h, fs.Zt_avg1, hc, grid.sc_r,
+                                      grid.Cs_r, grid.sc_w, grid.Cs_w,
+                                      cfg.vtransform)
+
+    # --- 3D momentum corrector (main3d.F:762) ---
+    u2, v2, ubar2, vbar2, Huon2, Hvom2 = step3d_uv(
+        cfg, grid, state.iic, u_nnew, v_nnew, ru, rv, Hz2, Akv,
+        fs.DU_avg1, fs.DV_avg1, fs.DU_avg2, fs.DV_avg2, Huon, Hvom)
+
+    # --- omega with corrected fluxes (main3d.F:789) ---
+    W2 = omega(cfg, grid, Huon2, Hvom2, z_w2)
+
+    # --- tracer corrector (main3d.F:814) ---
+    t2 = step3d_t(cfg, grid, state.iic, t_nnew, t3, Huon2, Hvom2, W2,
+                  Hz2, z_r2, Akt)
+
+    return state.replace(
+        time=state.time + cfg.dt, iic=state.iic + 1,
+        zeta=fs.Zt_avg1, ubar=ubar2, vbar=vbar2,
+        u=u2, v=v2, t=t2, t_prev=state.t,
+        ru_prev=ru, ru_prev2=state.ru_prev,
+        rv_prev=rv, rv_prev2=state.rv_prev,
+        rufrc0_prev=rufrc_c, rufrc0_prev2=state.rufrc0_prev,
+        rvfrc0_prev=rvfrc_c, rvfrc0_prev2=state.rvfrc0_prev,
+        rzeta=fs.rzeta_n, rubar=fs.rubar_n, rvbar=fs.rvbar_n,
+        Akv=Akv, Akt=Akt,
+        DU_avg1=fs.DU_avg1, DV_avg1=fs.DV_avg1,
+        DU_avg2=fs.DU_avg2, DV_avg2=fs.DV_avg2)
+
+
+def make_stepper(cfg: Config, grid: Grid,
+                 forcing_fn: Optional[Callable] = None,
+                 donate: bool = True):
+    """jit-compiled single-step function state -> state."""
+    f = lambda s: step(cfg, grid, s, forcing_fn)
+    return jax.jit(f, donate_argnums=(0,) if donate else ())
+
+
+def run(cfg: Config, grid: Grid, state: State, nsteps: int,
+        forcing_fn: Optional[Callable] = None) -> State:
+    """Advance nsteps with a scan (single compiled program)."""
+    def body(s, _):
+        return step(cfg, grid, s, forcing_fn), None
+
+    state, _ = jax.lax.scan(body, state, None, length=nsteps)
+    return state

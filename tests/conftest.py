@@ -4,7 +4,10 @@ import sys
 # Tests run on a virtual 8-device CPU mesh (the reference's rank-count-
 # independence testing model, SURVEY.md §4.7); the real TPU is used by
 # bench.py only.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session env exports JAX_PLATFORMS=axon (the tunneled TPU);
+# tests must not grab the single real chip (and concurrent test runs would
+# deadlock on it).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
