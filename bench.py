@@ -22,6 +22,11 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 import jax
 import numpy as np
 
+# Persistent compilation cache: first compile through the axon tunnel is
+# slow (remote compile); subsequent bench runs hit the cache.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 
 def main():
     from roms_tpu.models import upwelling

@@ -52,7 +52,8 @@ def hadv_fluxes(cfg: Config, scheme: str, q, Huon, Hvom):
         else:
             if scheme == "A4":
                 cff = 2.0 * ip1(dq) * dq
-                grad = jnp.where(cff > _EPS, cff / (ip1(dq) + dq), 0.0)
+                den = jnp.where(cff > _EPS, ip1(dq) + dq, 1.0)
+                grad = jnp.where(cff > _EPS, cff / den, 0.0)
             else:
                 grad = 0.5 * (ip1(dq) + dq)
             FX = Huon * 0.5 * (im1(q) + q - (1.0 / 3.0) * (grad - im1(grad)))
@@ -69,7 +70,8 @@ def hadv_fluxes(cfg: Config, scheme: str, q, Huon, Hvom):
         else:
             if scheme == "A4":
                 cff = 2.0 * jp1(dq) * dq
-                grad = jnp.where(cff > _EPS, cff / (jp1(dq) + dq), 0.0)
+                den = jnp.where(cff > _EPS, jp1(dq) + dq, 1.0)
+                grad = jnp.where(cff > _EPS, cff / den, 0.0)
             else:
                 grad = 0.5 * (jp1(dq) + dq)
             FE = Hvom * 0.5 * (jm1(q) + q - (1.0 / 3.0) * (grad - jm1(grad)))
@@ -101,7 +103,8 @@ def vadv_flux(scheme: str, q, W, Hz, spline_variant: str):
         d = q[1:] - q[:-1]                       # k=1..N-1
         d = jnp.concatenate([d[:1], d, d[-1:]], axis=0)   # pad -> k=0..N
         cff = 2.0 * d[1:] * d[:-1]
-        CFk = jnp.where(cff > _EPS, cff / (d[1:] + d[:-1]), 0.0)  # k=1..N
+        den = jnp.where(cff > _EPS, d[1:] + d[:-1], 1.0)
+        CFk = jnp.where(cff > _EPS, cff / den, 0.0)  # k=1..N
         flux = W[1:-1] * 0.5 * (q[:-1] + q[1:] -
                                 (1.0 / 3.0) * (CFk[1:] - CFk[:-1]))
         return jnp.concatenate([zero, flux, zero], axis=0)

@@ -20,9 +20,13 @@ _EPS = 1.0e-10
 
 
 def _harm_clamped(a, b):
-    """ROMS monotonized harmonic mean: 2ab/(a+b) where 2ab > eps, else 0."""
+    """ROMS monotonized harmonic mean: 2ab/(a+b) where 2ab > eps, else 0.
+
+    The denominator is guarded inside the untaken branch so reverse-mode
+    differentiation does not propagate 0/0 NaNs (jax where-grad rule)."""
     cff = 2.0 * a * b
-    return jnp.where(cff > _EPS, cff / (a + b), 0.0)
+    safe = jnp.where(cff > _EPS, a + b, 1.0)
+    return jnp.where(cff > _EPS, cff / safe, 0.0)
 
 
 def prsgrd32(cfg: Config, grid, rho, z_r, z_w, Hz):
