@@ -2,10 +2,10 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Workload: the reference's BENCHMARK1 grid size (512x64x30, DT=150 s,
-NDTFAST=20; ROMS/External/roms_benchmark1.in:94-96,224-226) run with the
-UPWELLING physics set (the closure/bulk-flux physics land in a later
-round), float32, full split-explicit stepping.
+Workload: the reference's BENCHMARK1 case (512x64x30, DT=150 s,
+NDTFAST=20; ROMS/External/roms_benchmark1.in:94-96,224-226) with its full
+physics: spherical grid, curvilinear metrics, JM95 EOS, KPP mixing, COARE
+bulk fluxes from the analytic atmosphere, quadratic drag; float32.
 
 vs_baseline is the measured fraction of an HBM-bandwidth roofline estimate
 (BASELINE.md cost model: all stencil sweeps are bandwidth-bound;
@@ -29,13 +29,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def main():
-    from roms_tpu.models import upwelling
+    from roms_tpu.models import benchmark
     from roms_tpu import stepping
 
     Lm, Mm, N = 512, 64, 30
-    cfg = upwelling.make_config(Lm=Lm, Mm=Mm, N=N, dt=150.0, ndtfast=20,
+    cfg = benchmark.make_config(Lm=Lm, Mm=Mm, N=N, dt=150.0, ndtfast=20,
                                 dtype="float32")
-    cfg, grid, state, ffn = upwelling.build(cfg)
+    cfg, grid, state, ffn = benchmark.build(cfg)
 
     nsteps = 10
     runN = jax.jit(lambda s: stepping.run(cfg, grid, s, nsteps, ffn))

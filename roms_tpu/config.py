@@ -52,6 +52,26 @@ class LBC:
 
 
 @dataclass(frozen=True)
+class GLSParams:
+    """GLS closure instance parameters (k-epsilon defaults;
+    roms_*.in GLS_* keywords, SURVEY.md Appendix A.4)."""
+    p: float = 3.0
+    m: float = 1.5
+    n: float = -1.0
+    cmu0: float = 0.5477
+    c1: float = 1.44
+    c2: float = 1.92
+    c3m: float = -0.4
+    c3p: float = 1.0
+    sigk: float = 1.0
+    sigp: float = 1.3
+    Kmin: float = 7.6e-6
+    Pmin: float = 1.0e-12
+    akk_bak: float = 5.0e-6
+    akp_bak: float = 5.0e-6
+
+
+@dataclass(frozen=True)
 class Config:
     """Static model configuration (grid sizes, schemes, coefficients).
 
@@ -101,6 +121,8 @@ class Config:
     splines_vvisc: bool = True  # SPLINES_VVISC
     wetdry: bool = False
 
+    bulk_fluxes: bool = False   # BULK_FLUXES: COARE air-sea fluxes
+
     # Bottom drag: one of "linear" (UV_LDRAG), "quadratic" (UV_QDRAG),
     # "logarithmic" (UV_LOGDRAG), or None.
     bottom_drag: Optional[str] = "linear"
@@ -118,6 +140,7 @@ class Config:
     # Vertical closure: None (constant background), "ana", "gls", "kpp",
     # "my25", "bvf".
     vmix: Optional[str] = None
+    gls_params: "GLSParams" = GLSParams()
 
     # --- Pressure gradient scheme: "djs" = splines density Jacobian
     # (prsgrd32.h, DJ_GRADPS default), "dj" = standard density Jacobian

@@ -16,7 +16,19 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..config import (Config, BC_PERIODIC, BC_CLOSED, BC_GRADIENT,
-                      BC_CLAMPED, LBC)
+                      BC_CLAMPED, BC_RADIATION, BC_CHAPMAN_EXPLICIT,
+                      BC_CHAPMAN_IMPLICIT, BC_FLATHER, LBC)
+
+_ADVANCED = {BC_RADIATION, BC_CHAPMAN_EXPLICIT, BC_CHAPMAN_IMPLICIT,
+             BC_FLATHER, BC_CLAMPED}
+
+
+def has_advanced(lbc: LBC) -> bool:
+    """True when any side uses an active/open BC (radiation, Chapman,
+    Flather, clamped) that needs the previous time level / external data
+    (handled by ops/obc.py)."""
+    return any(getattr(lbc, s) in _ADVANCED
+               for s in ("west", "south", "east", "north"))
 
 
 # ---------------------------------------------------------------------------

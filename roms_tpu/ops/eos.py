@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .. import constants as C
 from ..config import Config
 
 # Jackett & McDougall 1995 polynomial coefficients (mod_eoscoef.F)
@@ -38,24 +39,18 @@ def rho_linear(cfg: Config, temp, salt):
     return rho - 1000.0
 
 
-def rho_jm95(temp, salt, z_r):
-    """Nonlinear Jackett & McDougall 1995 in-situ density anomaly.
-
-    rho_eos.F:111-570: den1 (density at the surface) plus bulk-modulus
-    pressure correction using depth z_r (m, negative) as pressure proxy.
-    Check value: T=3, S=35.5, z=-5000 -> den = 1050.3639165364 - 1000.
-    """
+def _jm95_parts(temp, salt):
+    """den1 (surface density) and bulk-modulus polynomials K0, K1, K2
+    (rho_eos.F:247-322)."""
     Tt = temp
     Ts = jnp.maximum(salt, 0.0)
     sqrtTs = jnp.sqrt(Ts)
 
-    # density at standard pressure
     C0 = _Q00 + Tt * (_Q01 + Tt * (_Q02 + Tt * (_Q03 + Tt * (_Q04 + Tt * _Q05))))
     C1 = _U00 + Tt * (_U01 + Tt * (_U02 + Tt * (_U03 + Tt * _U04)))
     C2 = _V00 + Tt * (_V01 + Tt * _V02)
     den1 = C0 + Ts * (C1 + sqrtTs * C2 + Ts * _W00)
 
-    # secant bulk modulus
     K0 = _A00 + Tt * (_A01 + Tt * (_A02 + Tt * (_A03 + Tt * _A04))) + \
         Ts * (_B00 + Tt * (_B01 + Tt * (_B02 + Tt * _B03)) +
               sqrtTs * (_D00 + Tt * (_D01 + Tt * _D02)))
@@ -63,21 +58,67 @@ def rho_jm95(temp, salt, z_r):
         Ts * (_F00 + Tt * (_F01 + Tt * _F02) + sqrtTs * _G00)
     K2 = _G01 + Tt * (_G02 + Tt * _G03) + \
         Ts * (_H00 + Tt * (_H01 + Tt * _H02))
+    return den1, K0, K1, K2
 
+
+def rho_jm95(temp, salt, z_r):
+    """Nonlinear Jackett & McDougall 1995 in-situ density anomaly.
+
+    rho_eos.F:111-570: den1 (density at the surface) plus bulk-modulus
+    pressure correction using depth z_r (m, negative) as pressure proxy.
+    Check value: T=3, S=35.5, z=-5000 -> den = 1050.3639165364 - 1000.
+    """
+    den1, K0, K1, K2 = _jm95_parts(temp, salt)
     bulk = K0 - z_r * (K1 - z_r * K2)
     den = (den1 * bulk) / (bulk + 0.1 * z_r)
     return den - 1000.0
 
 
+def brunt_vaisala(cfg: Config, t, z_r, z_w):
+    """bvf at interior w-interfaces, (N+1,Ny,Nx) with bvf[0]=bvf[N]=0.
+
+    Linear EOS: bvf = -(g/rho0) d(rho)/dz (rho_eos.F:758-762).
+    JM95: adiabatic (neutral) form comparing densities displaced to the
+    common interface pressure z_w(k) (rho_eos.F:390-416).
+    """
+    temp = t[0]
+    salt = t[1] if cfg.ntracers >= 2 else jnp.zeros_like(temp)
+    zero = jnp.zeros_like(z_w[:1])
+    dz = z_r[1:] - z_r[:-1]
+    if cfg.eos == "linear":
+        rho = rho_linear(cfg, temp, salt)
+        bvf = -(C.g / cfg.rho0) * (rho[1:] - rho[:-1]) / dz
+    else:
+        den1, K0, K1, K2 = _jm95_parts(temp, salt)
+        zwk = z_w[1:-1]
+        bulk_up = K0[1:] - zwk * (K1[1:] - K2[1:] * zwk)
+        bulk_dn = K0[:-1] - zwk * (K1[:-1] - K2[:-1] * zwk)
+        den_up = den1[1:] * bulk_up / (bulk_up + 0.1 * zwk)
+        den_dn = den1[:-1] * bulk_dn / (bulk_dn + 0.1 * zwk)
+        bvf = -C.g * (den_up - den_dn) / (0.5 * (den_up + den_dn) * dz)
+    return jnp.concatenate([zero, bvf, zero], axis=0)
+
+
 def rho_eos(cfg: Config, t, z_r):
     """Density anomaly from the tracer stack t[itrc, k, j, i] at one time
     level.  itrc 0 = temp, 1 = salt."""
+    rho, _ = rho_eos_pden(cfg, t, z_r)
+    return rho
+
+
+def rho_eos_pden(cfg: Config, t, z_r):
+    """(in-situ density anomaly, potential density anomaly) - the
+    reference returns both (rho, pden); for the linear EOS they coincide
+    (rho_eos.F linear branch sets pden=rho)."""
     temp = t[0]
     salt = t[1] if cfg.ntracers >= 2 else None
     if cfg.eos == "linear":
-        return rho_linear(cfg, temp, salt)
+        rho = rho_linear(cfg, temp, salt)
+        return rho, rho
     if cfg.eos == "jm95":
         if salt is None:
             salt = jnp.zeros_like(temp)
-        return rho_jm95(temp, salt, z_r)
+        rho = rho_jm95(temp, salt, z_r)
+        den1, _, _, _ = _jm95_parts(temp, salt)
+        return rho, den1 - 1000.0
     raise ValueError(f"unknown eos {cfg.eos}")

@@ -1,0 +1,332 @@
+"""Open (active) lateral boundary conditions.
+
+Implements the reference's runtime-selectable open-boundary algorithms
+(SURVEY.md Appendix A.3):
+ * implicit upstream radiation with optional nudging (zetabc.F:108-238
+   and the matching u2dbc/v2dbc/u3dbc/v3dbc/t3dbc forms; the reference
+   zeroes the tangential phase speed Ce unless RADIATION_2D - ported
+   as-is),
+ * Chapman explicit/implicit for the free surface,
+ * Flather for 2-D normal momentum,
+ * clamped (external data).
+
+External boundary data arrives as a dict `bry` with keys like
+"zeta_west" (1-D arrays along the padded boundary, or scalars); the
+analog of mod_boundary.F's BOUNDARY(ng) arrays.
+
+All routines take the field at the previous time level (know) and the
+updated field (kout) and return kout with boundary rings replaced; the
+caller then wraps halos (bc.fill_halo).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..config import (Config, LBC, BC_RADIATION, BC_CHAPMAN_EXPLICIT,
+                      BC_CHAPMAN_IMPLICIT, BC_FLATHER, BC_CLAMPED)
+
+_EPS = 1.0e-20
+
+# side descriptors: (axis, is_low_end)
+_SIDES = {"west": (-1, True), "east": (-1, False),
+          "south": (-2, True), "north": (-2, False)}
+
+
+def _ax(a, axis):
+    """Move `axis` to the last position (returns a view)."""
+    return jnp.swapaxes(a, axis, -1) if axis == -2 else a
+
+
+def _unax(a, axis):
+    return jnp.swapaxes(a, axis, -1) if axis == -2 else a
+
+
+def _col(a, i):
+    return a[..., i]
+
+
+def radiation(cfg: Config, q_know, q_kout, side: str, ab: int,
+              nudg_in: float = 0.0, nudg_out: float = 0.0,
+              ext=None, dt: float = 0.0, mask=None):
+    """Implicit upstream radiation at one boundary (zetabc.F:145-197 and
+    twins).  ab: padded index of the boundary ring for this field kind.
+    Returns updated q_kout."""
+    axis, low = _SIDES[side]
+    qn = _ax(q_know, axis)
+    qo = _ax(q_kout, axis)
+    step = 1 if low else -1
+    ai = ab + step
+    ai2 = ab + 2 * step
+
+    dqdt = _col(qn, ai) - _col(qo, ai)
+    dqdx = _col(qo, ai) - _col(qo, ai2)
+    dqdt = jnp.where(dqdt * dqdx < 0.0, 0.0, dqdt)
+    # tangential gradient (upwinded); tangential axis is the remaining one
+    gi = _col(qn, ai)
+    grad = gi - jnp.roll(gi, 1, axis=-1)        # grad[j] = q[j]-q[j-1]
+    gradp = jnp.roll(grad, -1, axis=-1)         # grad[j+1]
+    dqde = jnp.where(dqdt * (grad + gradp) > 0.0, grad, gradp)
+    cff = jnp.maximum(dqdx * dqdx + dqde * dqde, _EPS)
+    Cx = dqdt * dqdx
+    # Ce = 0 (reference default without RADIATION_2D)
+    qb = (cff * _col(qn, ab) + Cx * _col(qo, ai)) / (cff + Cx)
+    if ext is not None and (nudg_in != 0.0 or nudg_out != 0.0):
+        tau = jnp.where(dqdt * dqdx < 0.0, nudg_in, nudg_out) * dt
+        qb = qb + tau * (ext - _col(qn, ab))
+    if mask is not None:
+        qb = qb * _col(_ax(mask + 0 * q_kout, axis), ab)
+    qo = qo.at[..., ab].set(qb)
+    return _unax(qo, axis)
+
+
+def chapman(cfg: Config, grid, z_know, z_kout, side: str,
+            implicit: bool, dt2d: float, mask=None):
+    """Chapman free-surface BC (zetabc.F:200-233): boundary ring follows
+    the shallow-water gravity-wave phase speed."""
+    axis, low = _SIDES[side]
+    H = cfg.halo
+    ab = H - 1 if low else H + (cfg.Lm if axis == -1 else cfg.Mm)
+    step = 1 if low else -1
+    ai = ab + step
+    zn = _ax(z_know, axis)
+    zo = _ax(z_kout, axis)
+    pmn = grid.pm if axis == -1 else grid.pn
+    pmn_i = _col(_ax(pmn, axis), ai)
+    h_i = _col(_ax(grid.h, axis), ai)
+    cffc = dt2d * pmn_i * jnp.sqrt(C.g * (h_i + _col(zn, ai)))
+    if implicit:
+        zb = (_col(zn, ab) + cffc * _col(zo, ai)) / (1.0 + cffc)
+    else:
+        zb = (1.0 - cffc) * _col(zn, ab) + cffc * _col(zn, ai)
+    if mask is not None:
+        zb = zb * _col(_ax(mask, axis), ab)
+    zo = zo.at[..., ab].set(zb)
+    return _unax(zo, axis)
+
+
+def flather(cfg: Config, grid, ub_kout, z_know, side: str,
+            ext_ubar, ext_zeta=None, mask=None):
+    """Flather 2-D normal-momentum BC (u2dbc_im.F Flather):
+    ubar_b = ubar_ext - sqrt(g/D)*(0.5*(zeta_b+zeta_i) - zeta_ext)."""
+    axis, low = _SIDES[side]
+    H = cfg.halo
+    ab = H if low else H + (cfg.Lm if axis == -1 else cfg.Mm)
+    step = 1 if low else -1
+    uo = _ax(ub_kout, axis)
+    zn = _ax(z_know, axis)
+    hh = _ax(grid.h, axis)
+    # rho columns flanking the boundary face
+    ir_in = ab if low else ab
+    ir_out = ab - 1 if low else ab
+    # u(ab) sits between rho(ab-1) and rho(ab)
+    D = 0.5 * (_col(hh, ab - 1) + _col(zn, ab - 1) +
+               _col(hh, ab) + _col(zn, ab))
+    Cx = jnp.sqrt(C.g / jnp.maximum(D, _EPS))
+    zavg = 0.5 * (_col(zn, ab - 1) + _col(zn, ab))
+    zext = 0.0 if ext_zeta is None else ext_zeta
+    sign = 1.0 if low else -1.0
+    ub = ext_ubar - sign * Cx * (zavg - zext)
+    if mask is not None:
+        ub = ub * _col(_ax(mask, axis), ab)
+    uo = uo.at[..., ab].set(ub)
+    return _unax(uo, axis)
+
+
+def clamped(cfg: Config, q_kout, side: str, ab: int, ext, mask=None):
+    axis, _ = _SIDES[side]
+    qo = _ax(q_kout, axis)
+    qb = ext + 0.0 * _col(qo, ab)
+    if mask is not None:
+        qb = qb * _col(_ax(mask + 0 * q_kout, axis), ab)
+    qo = qo.at[..., ab].set(qb)
+    return _unax(qo, axis)
+
+
+# ---------------------------------------------------------------------------
+# field-level dispatchers
+# ---------------------------------------------------------------------------
+def _ring_rho(cfg: Config, side: str) -> int:
+    H = cfg.halo
+    return {"west": H - 1, "east": H + cfg.Lm,
+            "south": H - 1, "north": H + cfg.Mm}[side]
+
+
+def _ring_normal_u(cfg: Config, side: str) -> int:
+    H = cfg.halo
+    return {"west": H, "east": H + cfg.Lm,
+            "south": H, "north": H + cfg.Mm}[side]
+
+
+def zetabc(cfg: Config, grid, lbc: LBC, z_know, z_kout, dt2d,
+           bry=None, nudg=(0.0, 0.0)):
+    """Advanced free-surface BCs per side; simple kinds (Per/Clo/Gra) are
+    handled by bc.apply_bc_rho and skipped here."""
+    bry = bry or {}
+    for side in ("west", "south", "east", "north"):
+        kind = getattr(lbc, side)
+        skip = (cfg.ew_periodic and side in ("west", "east")) or \
+            (cfg.ns_periodic and side in ("south", "north"))
+        if skip:
+            continue
+        ab = _ring_rho(cfg, side)
+        ext = bry.get(f"zeta_{side}")
+        if kind == BC_RADIATION:
+            z_kout = radiation(cfg, z_know, z_kout, side, ab,
+                               nudg[0], nudg[1], ext, dt2d,
+                               mask=grid.rmask)
+        elif kind == BC_CHAPMAN_EXPLICIT:
+            z_kout = chapman(cfg, grid, z_know, z_kout, side, False, dt2d,
+                             mask=grid.rmask)
+        elif kind == BC_CHAPMAN_IMPLICIT:
+            z_kout = chapman(cfg, grid, z_know, z_kout, side, True, dt2d,
+                             mask=grid.rmask)
+        elif kind == BC_CLAMPED and ext is not None:
+            z_kout = clamped(cfg, z_kout, side, ab, ext, mask=grid.rmask)
+    return z_kout
+
+
+def u2dbc(cfg: Config, grid, lbc: LBC, ub_know, ub_kout, z_know,
+          dt2d, bry=None):
+    """Advanced 2-D u-momentum BCs: Flather/radiation/clamped on normal
+    (west/east) sides; radiation on tangential handled via the generic
+    radiation with the tangential ring."""
+    bry = bry or {}
+    H = cfg.halo
+    for side in ("west", "east"):
+        if cfg.ew_periodic:
+            continue
+        kind = getattr(lbc, side)
+        ab = _ring_normal_u(cfg, side)
+        ext = bry.get(f"ubar_{side}", 0.0)
+        if kind == BC_FLATHER:
+            ub_kout = flather(cfg, grid, ub_kout, z_know, side, ext,
+                              bry.get(f"zeta_{side}"), mask=grid.umask)
+        elif kind == BC_RADIATION:
+            ub_kout = radiation(cfg, ub_know, ub_kout, side, ab,
+                                mask=grid.umask)
+        elif kind == BC_CLAMPED:
+            ub_kout = clamped(cfg, ub_kout, side, ab, ext, mask=grid.umask)
+    for side in ("south", "north"):
+        if cfg.ns_periodic:
+            continue
+        kind = getattr(lbc, side)
+        ab = _ring_rho(cfg, side)
+        if kind == BC_RADIATION:
+            ub_kout = radiation(cfg, ub_know, ub_kout, side, ab,
+                                mask=grid.umask)
+        elif kind == BC_CLAMPED:
+            ub_kout = clamped(cfg, ub_kout, side, ab,
+                              bry.get(f"ubar_{side}", 0.0),
+                              mask=grid.umask)
+    return ub_kout
+
+
+def v2dbc(cfg: Config, grid, lbc: LBC, vb_know, vb_kout, z_know,
+          dt2d, bry=None):
+    bry = bry or {}
+    for side in ("south", "north"):
+        if cfg.ns_periodic:
+            continue
+        kind = getattr(lbc, side)
+        ab = _ring_normal_u(cfg, side)
+        ext = bry.get(f"vbar_{side}", 0.0)
+        if kind == BC_FLATHER:
+            vb_kout = flather(cfg, grid, vb_kout, z_know, side, ext,
+                              bry.get(f"zeta_{side}"), mask=grid.vmask)
+        elif kind == BC_RADIATION:
+            vb_kout = radiation(cfg, vb_know, vb_kout, side, ab,
+                                mask=grid.vmask)
+        elif kind == BC_CLAMPED:
+            vb_kout = clamped(cfg, vb_kout, side, ab, ext, mask=grid.vmask)
+    for side in ("west", "east"):
+        if cfg.ew_periodic:
+            continue
+        kind = getattr(lbc, side)
+        ab = _ring_rho(cfg, side)
+        if kind == BC_RADIATION:
+            vb_kout = radiation(cfg, vb_know, vb_kout, side, ab,
+                                mask=grid.vmask)
+        elif kind == BC_CLAMPED:
+            vb_kout = clamped(cfg, vb_kout, side, ab,
+                              bry.get(f"vbar_{side}", 0.0),
+                              mask=grid.vmask)
+    return vb_kout
+
+
+def t3dbc(cfg: Config, grid, lbc: LBC, t_know, t_kout, bry=None,
+          name: str = "t"):
+    """3-D tracer (or momentum component) radiation/clamped BCs
+    (t3dbc_im.F / u3dbc_im.F pattern); broadcasts over the leading k."""
+    bry = bry or {}
+    for side in ("west", "south", "east", "north"):
+        kind = getattr(lbc, side)
+        skip = (cfg.ew_periodic and side in ("west", "east")) or \
+            (cfg.ns_periodic and side in ("south", "north"))
+        if skip:
+            continue
+        ab = _ring_rho(cfg, side)
+        ext = bry.get(f"{name}_{side}")
+        if kind == BC_RADIATION:
+            t_kout = radiation(cfg, t_know, t_kout, side, ab,
+                               mask=grid.rmask)
+        elif kind == BC_CLAMPED and ext is not None:
+            t_kout = clamped(cfg, t_kout, side, ab, ext, mask=grid.rmask)
+    return t_kout
+
+
+def u3dbc(cfg: Config, grid, lbc: LBC, u_know, u_kout, bry=None):
+    """3-D u-momentum radiation/clamped BCs (u3dbc_im.F pattern)."""
+    bry = bry or {}
+    for side in ("west", "east"):
+        if cfg.ew_periodic:
+            continue
+        kind = getattr(lbc, side)
+        ab = _ring_normal_u(cfg, side)
+        if kind == BC_RADIATION:
+            u_kout = radiation(cfg, u_know, u_kout, side, ab,
+                               mask=grid.umask)
+        elif kind == BC_CLAMPED:
+            ext = bry.get(f"u_{side}", 0.0)
+            u_kout = clamped(cfg, u_kout, side, ab, ext, mask=grid.umask)
+    for side in ("south", "north"):
+        if cfg.ns_periodic:
+            continue
+        kind = getattr(lbc, side)
+        ab = _ring_rho(cfg, side)
+        if kind == BC_RADIATION:
+            u_kout = radiation(cfg, u_know, u_kout, side, ab,
+                               mask=grid.umask)
+        elif kind == BC_CLAMPED:
+            ext = bry.get(f"u_{side}", 0.0)
+            u_kout = clamped(cfg, u_kout, side, ab, ext, mask=grid.umask)
+    return u_kout
+
+
+def v3dbc(cfg: Config, grid, lbc: LBC, v_know, v_kout, bry=None):
+    """3-D v-momentum radiation/clamped BCs (v3dbc_im.F pattern)."""
+    bry = bry or {}
+    for side in ("south", "north"):
+        if cfg.ns_periodic:
+            continue
+        kind = getattr(lbc, side)
+        ab = _ring_normal_u(cfg, side)
+        if kind == BC_RADIATION:
+            v_kout = radiation(cfg, v_know, v_kout, side, ab,
+                               mask=grid.vmask)
+        elif kind == BC_CLAMPED:
+            ext = bry.get(f"v_{side}", 0.0)
+            v_kout = clamped(cfg, v_kout, side, ab, ext, mask=grid.vmask)
+    for side in ("west", "east"):
+        if cfg.ew_periodic:
+            continue
+        kind = getattr(lbc, side)
+        ab = _ring_rho(cfg, side)
+        if kind == BC_RADIATION:
+            v_kout = radiation(cfg, v_know, v_kout, side, ab,
+                               mask=grid.vmask)
+        elif kind == BC_CLAMPED:
+            ext = bry.get(f"v_{side}", 0.0)
+            v_kout = clamped(cfg, v_kout, side, ab, ext, mask=grid.vmask)
+    return v_kout

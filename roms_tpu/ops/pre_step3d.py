@@ -25,7 +25,8 @@ from .stencil import ip1, im1, jp1, jm1
 def pre_step3d(cfg: Config, grid: Grid, iic, t, t_prev, u, v,
                Hz, z_r, Huon, Hvom, W, Akt,
                sustr, svstr, bustr, bvstr, stflx, btflx,
-               ru_prev, ru_prev2, rv_prev, rv_prev2):
+               ru_prev, ru_prev2, rv_prev, rv_prev2,
+               srflx=None, ghats=None, swdk_w=None):
     dt = cfg.dt
     pm, pn = grid.pm, grid.pn
     pmn = pm * pn
@@ -69,6 +70,12 @@ def pre_step3d(cfg: Config, grid: Grid, iic, t, t_prev, u, v,
                 (t[itrc][1:] - t[itrc][:-1]) / (z_r[1:] - z_r[:-1])
         else:
             FCd = jnp.zeros_like(W[1:-1])
+        # KPP nonlocal transport flux (pre_step3d.F LMD_NONLOCAL branch)
+        if ghats is not None and itrc < ghats.shape[0]:
+            FCd = FCd - dt * Akt[ltrc][1:-1] * ghats[itrc][1:-1]
+        # penetrating shortwave (pre_step3d.F SOLAR_SOURCE branch)
+        if srflx is not None and itrc == 0 and swdk_w is not None:
+            FCd = FCd + dt * srflx[None] * swdk_w[1:-1]
         FCd = jnp.concatenate(
             [dt * btflx[itrc][None], FCd, dt * stflx[itrc][None]], axis=0)
         tn_list.append(Hz * t[itrc] + (FCd[1:] - FCd[:-1]))

@@ -27,7 +27,7 @@ from flax import struct
 from .. import constants as C
 from ..config import Config
 from ..grid import Grid
-from . import bc
+from . import bc, obc
 from .stencil import ip1, im1, jp1, jm1, at_u, at_v, at_p
 
 
@@ -238,7 +238,8 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
               rufrc=None, rvfrc=None,
               ru0_nm1=None, ru0_nm2=None, rv0_nm1=None, rv0_nm2=None,
               iic: int | jax.Array = 0,
-              forcing: Optional[Forcing2D] = None):
+              forcing: Optional[Forcing2D] = None,
+              bry=None):
     """Run the full fast loop of one slow step (SOLVE3D mode): nfast LF-AM3
     fast steps plus the auxiliary averaging step.
 
@@ -259,6 +260,38 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
     nfast = cfg.nfast
 
     zero = jnp.zeros_like(fs.zeta_n)
+
+    # BC wrappers: simple kinds via bc.*, open-boundary kinds via obc.*
+    adv_z = bc.has_advanced(cfg.lbc_zeta)
+    adv_u = bc.has_advanced(cfg.lbc_ubar)
+    adv_v = bc.has_advanced(cfg.lbc_vbar)
+
+    def zbc(z_new, z_know, dt2d_):
+        z_new = bc.apply_bc_rho(cfg, cfg.lbc_zeta, z_new, mask=grid.rmask)
+        if adv_z:
+            z_new = obc.zetabc(cfg, grid, cfg.lbc_zeta, z_know, z_new,
+                               dt2d_, bry)
+            z_new = bc.fill_halo(cfg, z_new)
+        return z_new
+
+    def ubc(u_new, u_know, z_know, dt2d_):
+        u_new = bc.apply_bc_u(cfg, cfg.lbc_ubar, u_new,
+                              gamma2=cfg.gamma2, mask=grid.umask)
+        if adv_u:
+            u_new = obc.u2dbc(cfg, grid, cfg.lbc_ubar, u_know, u_new,
+                              z_know, dt2d_, bry)
+            u_new = bc.fill_halo(cfg, u_new)
+        return u_new
+
+    def vbc(v_new, v_know, z_know, dt2d_):
+        v_new = bc.apply_bc_v(cfg, cfg.lbc_vbar, v_new,
+                              gamma2=cfg.gamma2, mask=grid.vmask)
+        if adv_v:
+            v_new = obc.v2dbc(cfg, grid, cfg.lbc_vbar, v_know, v_new,
+                              z_know, dt2d_, bry)
+            v_new = bc.fill_halo(cfg, v_new)
+        return v_new
+
     if rufrc is None:
         rufrc = zero
         rvfrc = zero
@@ -275,7 +308,7 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
     zeta_new = (fs.zeta_n + pmn * dtfast * rhs_zeta) * grid.rmask
     Dnew = zeta_new + h
     zwrk = 0.5 * (fs.zeta_n + zeta_new)
-    zeta_p = bc.apply_bc_rho(cfg, cfg.lbc_zeta, zeta_new, mask=grid.rmask)
+    zeta_p = zbc(zeta_new, fs.zeta_n, dtfast)
 
     rhs_ubar, rhs_vbar = _rhs_momentum(
         cfg, grid, fs.zeta_n, fs.ubar_n, fs.vbar_n,
@@ -297,10 +330,8 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
     ubar_p, vbar_p = _step_momentum(
         cfg, grid, fs.ubar_n, fs.vbar_n, fs.zeta_n + h, Dnew,
         0.5 * dtfast * rhs_ubar, 0.5 * dtfast * rhs_vbar)
-    ubar_p = bc.apply_bc_u(cfg, cfg.lbc_ubar, ubar_p,
-                           gamma2=cfg.gamma2, mask=grid.umask)
-    vbar_p = bc.apply_bc_v(cfg, cfg.lbc_vbar, vbar_p,
-                           gamma2=cfg.gamma2, mask=grid.vmask)
+    ubar_p = ubc(ubar_p, fs.ubar_n, fs.zeta_n, dtfast)
+    vbar_p = vbc(vbar_p, fs.vbar_n, fs.zeta_n, dtfast)
     fs = fs.replace(
         rzeta_nm1=fs.rzeta_n, rzeta_n=bc.fill_halo(cfg, rhs_zeta),
         rubar_nm1=fs.rubar_n, rubar_n=rhs_ubar,
@@ -322,8 +353,7 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
         Dnew = zeta_new + h
         cff4 = 2.0 / 5.0
         zwrk = (1.0 - cff4) * zeta_new + cff4 * zeta_p
-        zeta_new = bc.apply_bc_rho(cfg, cfg.lbc_zeta, zeta_new,
-                                   mask=grid.rmask)
+        zeta_new = zbc(zeta_new, fs.zeta_n, dtfast)
 
         rhs_ubar, rhs_vbar = _rhs_momentum(
             cfg, grid, zeta_p, ubar_p, vbar_p,
@@ -339,10 +369,8 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
             cfg, grid, fs.ubar_n, fs.vbar_n, fs.zeta_n + h, Dnew,
             cm1 * rhs_ubar + cm2 * fs.rubar_n - cm3 * fs.rubar_nm1,
             cm1 * rhs_vbar + cm2 * fs.rvbar_n - cm3 * fs.rvbar_nm1)
-        ubar_new = bc.apply_bc_u(cfg, cfg.lbc_ubar, ubar_new,
-                                 gamma2=cfg.gamma2, mask=grid.umask)
-        vbar_new = bc.apply_bc_v(cfg, cfg.lbc_vbar, vbar_new,
-                                 gamma2=cfg.gamma2, mask=grid.vmask)
+        ubar_new = ubc(ubar_new, fs.ubar_n, fs.zeta_n, dtfast)
+        vbar_new = vbc(vbar_new, fs.vbar_n, fs.zeta_n, dtfast)
         return fs.replace(
             zeta_nm1=fs.zeta_n, zeta_n=zeta_new,
             ubar_nm1=fs.ubar_n, ubar_n=ubar_new,
@@ -370,8 +398,7 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
         cff4 = 4.0 / 25.0
         cff5 = 1.0 - 2.0 * cff4
         zwrk = cff5 * fs.zeta_n + cff4 * (fs.zeta_nm1 + zeta_new)
-        zeta_p = bc.apply_bc_rho(cfg, cfg.lbc_zeta, zeta_new,
-                                 mask=grid.rmask)
+        zeta_p = zbc(zeta_new, fs.zeta_n, 2.0 * dtfast)
 
         rhs_ubar, rhs_vbar = _rhs_momentum(
             cfg, grid, fs.zeta_n, fs.ubar_n, fs.vbar_n,
@@ -383,10 +410,8 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
         ubar_p, vbar_p = _step_momentum(
             cfg, grid, fs.ubar_nm1, fs.vbar_nm1, fs.zeta_nm1 + h, Dnew,
             dtfast * rhs_ubar, dtfast * rhs_vbar)
-        ubar_p = bc.apply_bc_u(cfg, cfg.lbc_ubar, ubar_p,
-                               gamma2=cfg.gamma2, mask=grid.umask)
-        vbar_p = bc.apply_bc_v(cfg, cfg.lbc_vbar, vbar_p,
-                               gamma2=cfg.gamma2, mask=grid.vmask)
+        ubar_p = ubc(ubar_p, fs.ubar_n, fs.zeta_n, 2.0 * dtfast)
+        vbar_p = vbc(vbar_p, fs.vbar_n, fs.zeta_n, 2.0 * dtfast)
         fs = fs.replace(
             rzeta_nm1=fs.rzeta_n, rzeta_n=bc.fill_halo(cfg, rhs_zeta),
             rubar_nm1=fs.rubar_n, rubar_n=rhs_ubar,
@@ -411,7 +436,8 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
 
 
 def step_2d_only(cfg: Config, grid: Grid, fs: Fast2DState, first: bool,
-                 forcing: Optional[Forcing2D] = None) -> Fast2DState:
+                 forcing: Optional[Forcing2D] = None,
+                 bry=None) -> Fast2DState:
     """One model step in 2D-only (main2d) mode: a single predictor/corrector
     pair; LF/AM3 history carries across steps.  `first` selects the FE
     predictor used at the very first step of a run (iic == ntfirst)."""
@@ -419,6 +445,36 @@ def step_2d_only(cfg: Config, grid: Grid, fs: Fast2DState, first: bool,
     dtfast = jnp.asarray(cfg.dtfast, dtype=dtype)
     h = grid.h
     pmn = grid.pm * grid.pn
+
+    adv_z = bc.has_advanced(cfg.lbc_zeta)
+    adv_u = bc.has_advanced(cfg.lbc_ubar)
+    adv_v = bc.has_advanced(cfg.lbc_vbar)
+
+    def zbc(z_new, z_know, dt2d_):
+        z_new = bc.apply_bc_rho(cfg, cfg.lbc_zeta, z_new, mask=grid.rmask)
+        if adv_z:
+            z_new = obc.zetabc(cfg, grid, cfg.lbc_zeta, z_know, z_new,
+                               dt2d_, bry)
+            z_new = bc.fill_halo(cfg, z_new)
+        return z_new
+
+    def ubc(u_new, u_know, z_know, dt2d_):
+        u_new = bc.apply_bc_u(cfg, cfg.lbc_ubar, u_new,
+                              gamma2=cfg.gamma2, mask=grid.umask)
+        if adv_u:
+            u_new = obc.u2dbc(cfg, grid, cfg.lbc_ubar, u_know, u_new,
+                              z_know, dt2d_, bry)
+            u_new = bc.fill_halo(cfg, u_new)
+        return u_new
+
+    def vbc(v_new, v_know, z_know, dt2d_):
+        v_new = bc.apply_bc_v(cfg, cfg.lbc_vbar, v_new,
+                              gamma2=cfg.gamma2, mask=grid.vmask)
+        if adv_v:
+            v_new = obc.v2dbc(cfg, grid, cfg.lbc_vbar, v_know, v_new,
+                              z_know, dt2d_, bry)
+            v_new = bc.fill_halo(cfg, v_new)
+        return v_new
 
     # --- predictor ---
     Drhs, DUon, DVom = depth_fluxes(grid, fs.zeta_n, fs.ubar_n, fs.vbar_n)
@@ -444,10 +500,8 @@ def step_2d_only(cfg: Config, grid: Grid, fs: Fast2DState, first: bool,
     ubar_p, vbar_p = _step_momentum(
         cfg, grid, u_kstp, v_kstp, z_kstp + h, Dnew,
         cm * rhs_ubar, cm * rhs_vbar)
-    ubar_p = bc.apply_bc_u(cfg, cfg.lbc_ubar, ubar_p,
-                           gamma2=cfg.gamma2, mask=grid.umask)
-    vbar_p = bc.apply_bc_v(cfg, cfg.lbc_vbar, vbar_p,
-                           gamma2=cfg.gamma2, mask=grid.vmask)
+    ubar_p = ubc(ubar_p, fs.ubar_n, fs.zeta_n, dtfast)
+    vbar_p = vbc(vbar_p, fs.vbar_n, fs.zeta_n, dtfast)
     fs = fs.replace(
         rzeta_nm1=fs.rzeta_n, rzeta_n=bc.fill_halo(cfg, rhs_zeta),
         rubar_nm1=fs.rubar_n, rubar_n=rhs_ubar,
@@ -464,7 +518,7 @@ def step_2d_only(cfg: Config, grid: Grid, fs: Fast2DState, first: bool,
     Dnew = zeta_new + h
     cff4 = 2.0 / 5.0
     zwrk = (1.0 - cff4) * zeta_new + cff4 * zeta_p
-    zeta_new = bc.apply_bc_rho(cfg, cfg.lbc_zeta, zeta_new, mask=grid.rmask)
+    zeta_new = zbc(zeta_new, fs.zeta_n, dtfast)
 
     rhs_ubar, rhs_vbar = _rhs_momentum(
         cfg, grid, zeta_p, ubar_p, vbar_p,
@@ -476,10 +530,8 @@ def step_2d_only(cfg: Config, grid: Grid, fs: Fast2DState, first: bool,
         cfg, grid, fs.ubar_n, fs.vbar_n, fs.zeta_n + h, Dnew,
         cm1 * rhs_ubar + cm2 * fs.rubar_n - cm3 * fs.rubar_nm1,
         cm1 * rhs_vbar + cm2 * fs.rvbar_n - cm3 * fs.rvbar_nm1)
-    ubar_new = bc.apply_bc_u(cfg, cfg.lbc_ubar, ubar_new,
-                             gamma2=cfg.gamma2, mask=grid.umask)
-    vbar_new = bc.apply_bc_v(cfg, cfg.lbc_vbar, vbar_new,
-                             gamma2=cfg.gamma2, mask=grid.vmask)
+    ubar_new = ubc(ubar_new, fs.ubar_n, fs.zeta_n, dtfast)
+    vbar_new = vbc(vbar_new, fs.vbar_n, fs.zeta_n, dtfast)
     return fs.replace(
         zeta_nm1=fs.zeta_n, zeta_n=zeta_new,
         ubar_nm1=fs.ubar_n, ubar_n=ubar_new,

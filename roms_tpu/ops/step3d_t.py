@@ -12,14 +12,14 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..grid import Grid
-from . import bc
+from . import bc, obc
 from .advection import hadv_fluxes, vadv_flux
 from .stencil import ip1, jp1
 from .tridiag import spline_vdiff_flux, thomas_implicit
 
 
 def step3d_t(cfg: Config, grid: Grid, iic, t_nnew, t3, Huon, Hvom, W,
-             Hz_new, z_r_new, Akt):
+             Hz_new, z_r_new, Akt, t_old=None, bry=None):
     dt = cfg.dt
     pmn = grid.pm * grid.pn
     oHz = 1.0 / Hz_new
@@ -45,5 +45,10 @@ def step3d_t(cfg: Config, grid: Grid, iic, t_nnew, t3, Huon, Hvom, W,
                                  tn * Hz_new)
 
         tn = bc.apply_bc_rho(cfg, cfg.lbc_t, tn)
+        if t_old is not None and bc.has_advanced(cfg.lbc_t):
+            tname = "temp" if itrc == 0 else ("salt" if itrc == 1
+                                              else f"trc{itrc}")
+            tn = bc.fill_halo(cfg, obc.t3dbc(
+                cfg, grid, cfg.lbc_t, t_old[itrc], tn, bry, name=tname))
         out.append(tn)
     return jnp.stack(out, axis=0)

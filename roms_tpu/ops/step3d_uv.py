@@ -18,14 +18,14 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..grid import Grid
-from . import bc
+from . import bc, obc
 from .stencil import im1, jm1
 from .tridiag import spline_vdiff_flux
 
 
 def step3d_uv(cfg: Config, grid: Grid, iic, u_nnew, v_nnew, ru, rv,
               Hz_new, Akv, DU_avg1, DV_avg1, DU_avg2, DV_avg2,
-              Huon_old, Hvom_old):
+              Huon_old, Hvom_old, u_old=None, v_old=None, bry=None):
     """Returns (u, v, ubar, vbar, Huon, Hvom), all halo-filled."""
     dt = cfg.dt
     pm, pn = grid.pm, grid.pn
@@ -69,6 +69,10 @@ def step3d_uv(cfg: Config, grid: Grid, iic, u_nnew, v_nnew, ru, rv,
     # ---------------- lateral BCs ----------------
     u = bc.apply_bc_u(cfg, cfg.lbc_u, u, gamma2=cfg.gamma2, mask=grid.umask)
     v = bc.apply_bc_v(cfg, cfg.lbc_v, v, gamma2=cfg.gamma2, mask=grid.vmask)
+    if u_old is not None and bc.has_advanced(cfg.lbc_u):
+        u = bc.fill_halo(cfg, obc.u3dbc(cfg, grid, cfg.lbc_u, u_old, u, bry))
+    if v_old is not None and bc.has_advanced(cfg.lbc_v):
+        v = bc.fill_halo(cfg, obc.v3dbc(cfg, grid, cfg.lbc_v, v_old, v, bry))
 
     # ---------------- 2D/3D coupling (step3d_uv.F:997-1213) ----------------
     DCk_u = 0.5 * grid.on_u * (Hz_new + im1(Hz_new))

@@ -50,6 +50,16 @@ class State:
     # cfg.vmix is None)
     Akv: jax.Array       # (N+1,Ny,Nx)
     Akt: jax.Array       # (NAT,N+1,Ny,Nx)
+    hsbl: jax.Array      # (Ny,Nx) KPP surface boundary layer depth (m, neg)
+
+    # GLS closure state (tke/gls at W-points; mod_mixing.F tke/gls/Lscale)
+    tke: jax.Array       # (N+1,Ny,Nx)
+    gls: jax.Array
+    tke_prev: jax.Array
+    gls_prev: jax.Array
+    Akk: jax.Array       # tke diffusivity
+    Akp: jax.Array       # gls diffusivity
+    Lscale: jax.Array
 
     # fast-time-averaged fields of the last completed step (restart
     # completeness; also handy diagnostics)
@@ -68,14 +78,15 @@ def initial_state(cfg: Config, zeta=None, ubar=None, vbar=None,
     shp3 = (cfg.N,) + shp2
     shpw = (cfg.N + 1,) + shp2
     nat = min(cfg.ntracers, 2) if cfg.ntracers else 1
-    z2 = jnp.zeros(shp2, dtype)
-    z3 = jnp.zeros(shp3, dtype)
+    # each field gets its own buffer: aliased leaves break jit donation
+    z2 = lambda: jnp.zeros(shp2, dtype)
+    z3 = lambda: jnp.zeros(shp3, dtype)
 
-    zeta = z2 if zeta is None else jnp.asarray(zeta, dtype)
-    ubar = z2 if ubar is None else jnp.asarray(ubar, dtype)
-    vbar = z2 if vbar is None else jnp.asarray(vbar, dtype)
-    u = z3 if u is None else jnp.asarray(u, dtype)
-    v = z3 if v is None else jnp.asarray(v, dtype)
+    zeta = z2() if zeta is None else jnp.asarray(zeta, dtype)
+    ubar = z2() if ubar is None else jnp.asarray(ubar, dtype)
+    vbar = z2() if vbar is None else jnp.asarray(vbar, dtype)
+    u = z3() if u is None else jnp.asarray(u, dtype)
+    v = z3() if v is None else jnp.asarray(v, dtype)
     if t is None:
         t = jnp.zeros((cfg.ntracers,) + shp3, dtype)
     else:
@@ -86,9 +97,18 @@ def initial_state(cfg: Config, zeta=None, ubar=None, vbar=None,
                      for i in range(nat)], axis=0)
     return State(
         time=jnp.asarray(0.0, dtype), iic=jnp.asarray(0, jnp.int32),
-        zeta=zeta, ubar=ubar, vbar=vbar, u=u, v=v, t=t, t_prev=t,
-        ru_prev=z3, ru_prev2=z3, rv_prev=z3, rv_prev2=z3,
-        rufrc0_prev=z2, rufrc0_prev2=z2, rvfrc0_prev=z2, rvfrc0_prev2=z2,
-        rzeta=z2, rubar=z2, rvbar=z2,
-        Akv=Akv, Akt=Akt,
-        DU_avg1=z2, DV_avg1=z2, DU_avg2=z2, DV_avg2=z2)
+        zeta=zeta, ubar=ubar, vbar=vbar, u=u, v=v, t=t,
+        t_prev=t.copy(),
+        ru_prev=z3(), ru_prev2=z3(), rv_prev=z3(), rv_prev2=z3(),
+        rufrc0_prev=z2(), rufrc0_prev2=z2(), rvfrc0_prev=z2(),
+        rvfrc0_prev2=z2(),
+        rzeta=z2(), rubar=z2(), rvbar=z2(),
+        Akv=Akv, Akt=Akt, hsbl=z2(),
+        tke=jnp.full(shpw, cfg.gls_params.Kmin, dtype),
+        gls=jnp.full(shpw, cfg.gls_params.Pmin, dtype),
+        tke_prev=jnp.full(shpw, cfg.gls_params.Kmin, dtype),
+        gls_prev=jnp.full(shpw, cfg.gls_params.Pmin, dtype),
+        Akk=jnp.full(shpw, cfg.gls_params.akk_bak, dtype),
+        Akp=jnp.full(shpw, cfg.gls_params.akp_bak, dtype),
+        Lscale=jnp.zeros(shpw, dtype),
+        DU_avg1=z2(), DV_avg1=z2(), DU_avg2=z2(), DV_avg2=z2())

@@ -17,7 +17,7 @@ from .config import Config
 from .grid import Grid, hc_of
 from .state import State
 from . import vgrid
-from .ops import bc, eos, prsgrd
+from .ops import bc, eos, prsgrd, vmix
 from .ops.omega import set_massflux, omega
 from .ops.vbc import set_vbc
 from .ops.pre_step3d import pre_step3d
@@ -44,10 +44,29 @@ def step(cfg: Config, grid: Grid, state: State,
     else:
         frc = {}
     nt = max(cfg.ntracers, 1)
-    sustr = frc.get("sustr", zero2)
-    svstr = frc.get("svstr", zero2)
-    stflux = frc.get("stflux", jnp.zeros((nt,) + zero2.shape, dtype))
-    btflux = frc.get("btflux", jnp.zeros((nt,) + zero2.shape, dtype))
+    if cfg.bulk_fluxes:
+        # COARE air-sea fluxes from atmospheric state + SST (main3d.F:386)
+        from .ops import bulk_flux as bfx
+        srflx0 = frc.get("srflx", zero2)
+        blk = bfx.bulk_flux(
+            cfg, grid, state.t[0, -1], srflx0,
+            frc.get("Uwind", zero2), frc.get("Vwind", zero2),
+            frc.get("Tair", zero2), frc.get("Pair", zero2 + 1013.0),
+            frc.get("Hair", zero2), frc.get("cloud", zero2),
+            frc.get("rain", zero2))
+        sustr = blk["sustr"]
+        svstr = blk["svstr"]
+        stflux = jnp.concatenate(
+            [blk["stflux_temp"][None],
+             jnp.zeros((nt - 1,) + zero2.shape, dtype)], axis=0)
+        btflux = frc.get("btflux", jnp.zeros((nt,) + zero2.shape, dtype))
+        frc = dict(frc)
+        frc["srflx"] = srflx0
+    else:
+        sustr = frc.get("sustr", zero2)
+        svstr = frc.get("svstr", zero2)
+        stflux = frc.get("stflux", jnp.zeros((nt,) + zero2.shape, dtype))
+        btflux = frc.get("btflux", jnp.zeros((nt,) + zero2.shape, dtype))
 
     # --- vertical grid and mass fluxes at time n (main3d.F:307) ---
     z_r, z_w, Hz = vgrid.set_depth(grid.h, state.zeta, hc, grid.sc_r,
@@ -56,14 +75,32 @@ def step(cfg: Config, grid: Grid, state: State,
     Huon, Hvom = set_massflux(cfg, grid, state.u, state.v, Hz)
 
     # --- density (main3d.F:314) ---
-    rho = eos.rho_eos(cfg, state.t, z_r)
+    rho, pden = eos.rho_eos_pden(cfg, state.t, z_r)
 
     # --- surface/bottom fluxes (main3d.F:386-396) ---
     bustr, bvstr, stflx, btflx = set_vbc(cfg, grid, state.u, state.v,
                                          state.t, stflux, btflux)
+    srflx = frc.get("srflx", None)
 
     # --- vertical mixing coefficients (main3d.F:465-469) ---
-    Akv, Akt = state.Akv, state.Akt   # closures (GLS/KPP) plug in here
+    hsbl = state.hsbl
+    ghats = None
+    swdk_w = None
+    if cfg.vmix == "kpp":
+        bvf = eos.brunt_vaisala(cfg, state.t, z_r, z_w)
+        srf = srflx if srflx is not None else zero2
+        Akv, Akt, hsbl, ghats = vmix.lmd_vmix(
+            cfg, grid, state.u, state.v, state.t, rho, pden, bvf,
+            Hz, z_r, z_w, sustr, svstr, bustr, bvstr, stflx, srf, hsbl)
+        if srflx is not None:
+            swdk_w = vmix.swfrac(z_w[-1][None] - z_w)
+    elif cfg.vmix == "bvf":
+        bvf = eos.brunt_vaisala(cfg, state.t, z_r, z_w)
+        Akv, Akt = vmix.bvf_mix(cfg, bvf)
+    else:
+        # "gls" keeps last step's coefficients here; gls_corstep updates
+        # them after the momentum corrector (main3d.F:791)
+        Akv, Akt = state.Akv, state.Akt
 
     # --- omega at time n (main3d.F:474) ---
     W = omega(cfg, grid, Huon, Hvom, z_w)
@@ -74,7 +111,8 @@ def step(cfg: Config, grid: Grid, state: State,
         cfg, grid, state.iic, state.t, state.t_prev, state.u, state.v,
         Hz, z_r, Huon, Hvom, W, Akt,
         sustr, svstr, bustr, bvstr, stflx, btflx,
-        state.ru_prev, state.ru_prev2, state.rv_prev, state.rv_prev2)
+        state.ru_prev, state.ru_prev2, state.rv_prev, state.rv_prev2,
+        srflx=srflx, ghats=ghats, swdk_w=swdk_w)
 
     ru, rv = prsgrd.prsgrd(cfg, grid, rho, z_r, z_w, Hz)
 
@@ -90,6 +128,15 @@ def step(cfg: Config, grid: Grid, state: State,
             cfg, grid, state.u, state.v, Hz, u_nnew, v_nnew,
             rufrc, rvfrc, cfg.dt)
 
+    # --- GLS predictor (main3d.F:565-567) ---
+    tke_new, gls_new = state.tke, state.gls
+    Akk_new, Akp_new, Lscale_new = state.Akk, state.Akp, state.Lscale
+    if cfg.vmix == "gls":
+        from .ops import gls as gls_mod
+        tke3, gls3, tke_nnew, gls_nnew = gls_mod.gls_prestep(
+            cfg, grid, cfg.gls_params, state.iic, state.tke, state.gls,
+            state.tke_prev, state.gls_prev, Hz, Huon, Hvom, W)
+
     # --- fast barotropic loop (main3d.F:592-713) ---
     fs = Fast2DState(
         zeta_n=state.zeta, zeta_nm1=state.zeta,
@@ -100,11 +147,12 @@ def step(cfg: Config, grid: Grid, state: State,
         rvbar_n=state.rvbar, rvbar_nm1=zero2,
         Zt_avg1=zero2, DU_avg1=zero2, DV_avg1=zero2,
         DU_avg2=zero2, DV_avg2=zero2)
+    bry = frc.get("bry", None)
     fs, rufrc_c, rvfrc_c = fast_loop(
         cfg, grid, fs, rufrc=rufrc, rvfrc=rvfrc,
         ru0_nm1=state.rufrc0_prev, ru0_nm2=state.rufrc0_prev2,
         rv0_nm1=state.rvfrc0_prev, rv0_nm2=state.rvfrc0_prev2,
-        iic=state.iic)
+        iic=state.iic, bry=bry)
 
     # --- new depths from the filtered free surface (main3d.F:736) ---
     z_r2, z_w2, Hz2 = vgrid.set_depth(grid.h, fs.Zt_avg1, hc, grid.sc_r,
@@ -114,14 +162,27 @@ def step(cfg: Config, grid: Grid, state: State,
     # --- 3D momentum corrector (main3d.F:762) ---
     u2, v2, ubar2, vbar2, Huon2, Hvom2 = step3d_uv(
         cfg, grid, state.iic, u_nnew, v_nnew, ru, rv, Hz2, Akv,
-        fs.DU_avg1, fs.DV_avg1, fs.DU_avg2, fs.DV_avg2, Huon, Hvom)
+        fs.DU_avg1, fs.DV_avg1, fs.DU_avg2, fs.DV_avg2, Huon, Hvom,
+        u_old=state.u, v_old=state.v, bry=bry)
 
     # --- omega with corrected fluxes (main3d.F:789) ---
     W2 = omega(cfg, grid, Huon2, Hvom2, z_w2)
 
+    # --- GLS corrector (main3d.F:791-793): updates Akv/Akt for the
+    #     tracer step ---
+    if cfg.vmix == "gls":
+        bvf_g = eos.brunt_vaisala(cfg, state.t, z_r, z_w)
+        (tke_new, gls_new, Akv, Akt, Akk_new, Akp_new,
+         Lscale_new) = gls_mod.gls_corstep(
+            cfg, grid, cfg.gls_params, state.iic,
+            state.tke, state.gls, tke3, gls3, tke_nnew, gls_nnew,
+            state.u, state.v, bvf_g, Hz2, z_r2, z_w2, Huon2, Hvom2, W2,
+            state.Akv, state.Akt, state.Akk, state.Akp, state.Lscale,
+            sustr, svstr, bustr, bvstr)
+
     # --- tracer corrector (main3d.F:814) ---
     t2 = step3d_t(cfg, grid, state.iic, t_nnew, t3, Huon2, Hvom2, W2,
-                  Hz2, z_r2, Akt)
+                  Hz2, z_r2, Akt, t_old=state.t, bry=bry)
 
     return state.replace(
         time=state.time + cfg.dt, iic=state.iic + 1,
@@ -132,7 +193,10 @@ def step(cfg: Config, grid: Grid, state: State,
         rufrc0_prev=rufrc_c, rufrc0_prev2=state.rufrc0_prev,
         rvfrc0_prev=rvfrc_c, rvfrc0_prev2=state.rvfrc0_prev,
         rzeta=fs.rzeta_n, rubar=fs.rubar_n, rvbar=fs.rvbar_n,
-        Akv=Akv, Akt=Akt,
+        Akv=Akv, Akt=Akt, hsbl=hsbl,
+        tke=tke_new, gls=gls_new,
+        tke_prev=state.tke, gls_prev=state.gls,
+        Akk=Akk_new, Akp=Akp_new, Lscale=Lscale_new,
         DU_avg1=fs.DU_avg1, DV_avg1=fs.DV_avg1,
         DU_avg2=fs.DU_avg2, DV_avg2=fs.DV_avg2)
 
