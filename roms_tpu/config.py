@@ -70,6 +70,23 @@ class GLSParams:
     akk_bak: float = 5.0e-6
     akp_bak: float = 5.0e-6
 
+    @staticmethod
+    def k_epsilon() -> "GLSParams":
+        return GLSParams()
+
+    @staticmethod
+    def k_omega() -> "GLSParams":
+        return GLSParams(p=-1.0, m=0.5, n=-1.0, cmu0=0.5477, c1=0.555,
+                         c2=0.833, c3m=-0.6, c3p=1.0, sigk=2.0, sigp=2.0)
+
+    @staticmethod
+    def k_kl() -> "GLSParams":
+        """Mellor-Yamada 2.5 as a GLS instance (Warner et al. 2005
+        Table 1; the reference's MY25_MIXING equivalent)."""
+        return GLSParams(p=0.0, m=1.0, n=1.0, cmu0=0.5544, c1=0.9,
+                         c2=0.52, c3m=2.38, c3p=1.0, sigk=1.96,
+                         sigp=1.96, Kmin=5.0e-6, Pmin=1.0e-12)
+
 
 @dataclass(frozen=True)
 class Config:
@@ -115,6 +132,7 @@ class Config:
     uv_vis4: bool = False       # UV_VIS4 (biharmonic)
     ts_dif2: bool = False       # TS_DIF2
     ts_dif4: bool = False       # TS_DIF4
+    ts_mix_geo: bool = False    # MIX_GEO_TS (rotated diffusion)
     curvgrid: bool = False      # CURVGRID metric terms
     var_rho_2d: bool = False    # VAR_RHO_2D baroclinic correction in step2d
     splines_vdiff: bool = True  # SPLINES_VDIFF

@@ -36,7 +36,7 @@ def make_config(Lm: int = 512, Mm: int = 64, N: int = 30,
         tcline=400.0,
         uv_adv=True, uv_cor=True, curvgrid=True,
         uv_vis2=True, visc2=5000.0,
-        ts_dif2=True, tnu2=(500.0, 500.0),
+        ts_dif2=True, tnu2=(500.0, 500.0), ts_mix_geo=True,
         splines_vdiff=True, splines_vvisc=True,
         bottom_drag="quadratic", rdrg2=3.0e-3,
         akv_bak=1.0e-4, akt_bak=(1.0e-5, 1.0e-5),

@@ -48,14 +48,16 @@ def _rest_state(cfg, grid, temp_fn, salt=None):
 
 
 def basin(Lm=180, Mm=140, N=12, dt=800.0, ndtfast=20, dtype="float64"):
-    """BASIN: rectangular beta-plane box (basin.h; roms_basin.in).
-    Reference uses UV_VIS4=8e10/BODYFORCE; here harmonic visc2=100."""
+    """BASIN: rectangular beta-plane box (basin.h; roms_basin.in) with
+    biharmonic viscosity/diffusion as in the reference (stress applied at
+    the surface rather than as BODYFORCE layers)."""
     clo = LBC()
     cfg = Config(
         name="basin", Lm=Lm, Mm=Mm, N=N, ntracers=1,
         ew_periodic=False, ns_periodic=False,
         dt=dt, ndtfast=ndtfast,
-        uv_vis2=True, visc2=100.0, tnu2=(5.0,), t_hadv=("U3",),
+        uv_vis2=False, visc2=0.0, uv_vis4=True, visc4=8.0e10,
+        ts_dif4=True, tnu4=(2.0e10,), tnu2=(0.0,), t_hadv=("U3",),
         t_vadv=("C4",), akt_bak=(1.0e-7,), akv_bak=1.0e-5,
         bottom_drag="quadratic", rdrg2=3.0e-3,
         eos="linear", R0=1028.0, T0=10.0, Tcoef=1.7e-4, Scoef=0.0,

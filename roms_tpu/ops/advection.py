@@ -22,14 +22,84 @@ from .tridiag import spline_interp_flux
 _EPS = 1.0e-16
 
 
-def hadv_fluxes(cfg: Config, scheme: str, q, Huon, Hvom):
+# HSIMT TVD limiter coefficients (Wu & Zhu 2010; mod_scalars.F:375-377)
+_CC1, _CC2, _CC3 = 0.25, 0.5, 1.0 / 12.0
+_EPS1 = 1.0e-12
+
+
+def _hsimt_sw(q_up, q_dn, grad_c, grad_up, Ka_c, Ka_up):
+    """HSIMT upwinded face value for one flow direction: q_up is the
+    upstream cell, grad_c the face gradient, grad_up the next-upstream
+    face gradient, Ka the antidiffusion factors (step3d_t.F:300-430)."""
+    oKa_c = jnp.where(Ka_c <= _EPS1, 0.0,
+                      1.0 / jnp.maximum(Ka_c, _EPS1))
+    small = jnp.abs(grad_c) <= _EPS1
+    safe = jnp.where(small, 1.0, grad_c)
+    r = jnp.where(small, 0.0, grad_up / safe)
+    rka = jnp.where(small, 0.0, Ka_up * oKa_c)
+    a1 = _CC1 * Ka_c + _CC2 - _CC3 * oKa_c
+    b1 = -_CC1 * Ka_c + _CC2 + _CC3 * oKa_c
+    beta = a1 + b1 * r
+    lim = jnp.maximum(0.0, jnp.minimum(jnp.minimum(2.0, 2.0 * r * rka),
+                                       beta))
+    return q_up + 0.5 * lim * grad_c * Ka_c
+
+
+def hadv_fluxes(cfg: Config, scheme: str, q, Huon, Hvom,
+                grid=None, Hz=None, dt=None):
     """Horizontal advective fluxes (FX at u-points, FE at v-points) of a
     3-D tracer plane stack q (N,Ny,Nx) at one time level.
 
-    Reference: pre_step3d.F:336-523 / step3d_t.F:227-564.
+    Reference: pre_step3d.F:336-523 / step3d_t.F:227-564.  HSIMT needs
+    grid/Hz/dt for the Courant-number antidiffusion factors.
     """
     H = cfg.halo
     L, M = cfg.Lm, cfg.Mm
+    if scheme == "HSIMT":
+        pm, pn = grid.pm, grid.pn
+        oHz = 1.0 / Hz
+        cffx = 0.125 * (pn + im1(pn)) * (pm + im1(pm)) * dt
+        KaX = 1.0 - jnp.abs(Huon * cffx * (oHz + im1(oHz)))
+        gradX = q - im1(q)
+        if not cfg.ew_periodic:
+            # inflow edges: zero gradient/Ka beyond the boundary
+            # (step3d_t.F HSIMT west/east special cases)
+            inflow_w = Huon[..., :, H:H + 1] >= 0.0
+            gradX = gradX.at[..., :, H - 1].set(
+                jnp.where(inflow_w[..., :, 0], 0.0, gradX[..., :, H - 1]))
+            KaX = KaX.at[..., :, H - 1].set(
+                jnp.where(inflow_w[..., :, 0], 0.0, KaX[..., :, H - 1]))
+            inflow_e = Huon[..., :, H + L:H + L + 1] < 0.0
+            gradX = gradX.at[..., :, H + L + 1].set(
+                jnp.where(inflow_e[..., :, 0], 0.0,
+                          gradX[..., :, H + L + 1]))
+            KaX = KaX.at[..., :, H + L + 1].set(
+                jnp.where(inflow_e[..., :, 0], 0.0,
+                          KaX[..., :, H + L + 1]))
+        sw_pos = _hsimt_sw(im1(q), q, gradX, im1(gradX), KaX, im1(KaX))
+        sw_neg = _hsimt_sw(q, im1(q), -gradX, -ip1(gradX), KaX, ip1(KaX))
+        FX = jnp.where(Huon >= 0.0, sw_pos, sw_neg) * Huon
+
+        cffe = 0.125 * (pn + jm1(pn)) * (pm + jm1(pm)) * dt
+        KaE = 1.0 - jnp.abs(Hvom * cffe * (oHz + jm1(oHz)))
+        gradE = q - jm1(q)
+        if not cfg.ns_periodic:
+            inflow_s = Hvom[..., H:H + 1, :] >= 0.0
+            gradE = gradE.at[..., H - 1, :].set(
+                jnp.where(inflow_s[..., 0, :], 0.0, gradE[..., H - 1, :]))
+            KaE = KaE.at[..., H - 1, :].set(
+                jnp.where(inflow_s[..., 0, :], 0.0, KaE[..., H - 1, :]))
+            inflow_n = Hvom[..., H + M:H + M + 1, :] < 0.0
+            gradE = gradE.at[..., H + M + 1, :].set(
+                jnp.where(inflow_n[..., 0, :], 0.0,
+                          gradE[..., H + M + 1, :]))
+            KaE = KaE.at[..., H + M + 1, :].set(
+                jnp.where(inflow_n[..., 0, :], 0.0,
+                          KaE[..., H + M + 1, :]))
+        sw_pos = _hsimt_sw(jm1(q), q, gradE, jm1(gradE), KaE, jm1(KaE))
+        sw_neg = _hsimt_sw(q, jm1(q), -gradE, -jp1(gradE), KaE, jp1(KaE))
+        FE = jnp.where(Hvom >= 0.0, sw_pos, sw_neg) * Hvom
+        return FX, FE
     if scheme == "C2":
         FX = Huon * 0.5 * (im1(q) + q)
         FE = Hvom * 0.5 * (jm1(q) + q)
@@ -79,7 +149,8 @@ def hadv_fluxes(cfg: Config, scheme: str, q, Huon, Hvom):
     raise ValueError(f"unknown horizontal advection scheme {scheme}")
 
 
-def vadv_flux(scheme: str, q, W, Hz, spline_variant: str):
+def vadv_flux(scheme: str, q, W, Hz, spline_variant: str,
+              z_r=None, pmn=None, dt=None):
     """Vertical advective flux at interfaces (N+1,Ny,Nx); flux[0]=flux[N]=0.
 
     spline_variant: "predictor" (pre_step3d.F:436-470 end conditions
@@ -87,6 +158,23 @@ def vadv_flux(scheme: str, q, W, Hz, spline_variant: str):
     """
     N = q.shape[0]
     zero = jnp.zeros_like(q[:1])
+    if scheme == "HSIMT":
+        # vertical HSIMT-TVD (step3d_t.F:739-800)
+        KaZ = 1.0 - jnp.abs(pmn * dt * W[1:-1] / (z_r[1:] - z_r[:-1]))
+        gradZ = q[1:] - q[:-1]                     # interfaces k=1..N-1
+        pad0 = jnp.zeros_like(gradZ[:1])
+        Ka_dn = jnp.concatenate([pad0, KaZ[:-1]], axis=0)    # KaZ(k-1)
+        Ka_up = jnp.concatenate([KaZ[1:], pad0], axis=0)     # KaZ(k+1)
+        g_dn = jnp.concatenate([pad0, gradZ[:-1]], axis=0)
+        g_up = jnp.concatenate([gradZ[1:], pad0], axis=0)
+        sw_pos = _hsimt_sw(q[:-1], q[1:], gradZ, g_dn, KaZ, Ka_dn)
+        sw_neg = _hsimt_sw(q[1:], q[:-1], -gradZ, -g_up, KaZ, Ka_up)
+        sw = jnp.where(W[1:-1] >= 0.0, sw_pos, sw_neg)
+        # first/last interface pure upwind when flow leaves the column
+        sw = sw.at[0].set(jnp.where(W[1] >= 0.0, q[0], sw[0]))
+        sw = sw.at[-1].set(jnp.where(W[N - 1] < 0.0, q[N - 1], sw[-1]))
+        flux = W[1:-1] * sw
+        return jnp.concatenate([zero, flux, zero], axis=0)
     if scheme == "SPLINES":
         if spline_variant == "predictor":
             return spline_interp_flux(Hz, q, W, 1.5, 0.5, 3.0, 2.0)

@@ -30,10 +30,12 @@ def step3d_t(cfg: Config, grid: Grid, iic, t_nnew, t3, Huon, Hvom, W,
         if hscheme in ("MPDATA",) or vscheme in ("MPDATA",):
             raise NotImplementedError("MPDATA corrector not yet implemented")
 
-        FX, FE = hadv_fluxes(cfg, hscheme, t3[itrc], Huon, Hvom)
+        FX, FE = hadv_fluxes(cfg, hscheme, t3[itrc], Huon, Hvom,
+                             grid=grid, Hz=Hz_new, dt=dt)
         tn = t_nnew[itrc] - dt * pmn * ((ip1(FX) - FX) + (jp1(FE) - FE))
 
-        FC = vadv_flux(vscheme, t3[itrc], W, Hz_new, "corrector")
+        FC = vadv_flux(vscheme, t3[itrc], W, Hz_new, "corrector",
+                       z_r=z_r_new, pmn=pmn, dt=dt)
         tn = (tn - dt * pmn * (FC[1:] - FC[:-1])) * oHz
 
         ltrc = min(1, itrc) if cfg.ntracers >= 2 else 0

@@ -22,7 +22,8 @@ from .ops.omega import set_massflux, omega
 from .ops.vbc import set_vbc
 from .ops.pre_step3d import pre_step3d
 from .ops.rhs3d import rhs3d_momentum
-from .ops.mix3d import uv3dmix2, t3dmix2
+from .ops.mix3d import (uv3dmix2, t3dmix2, uv3dmix4, t3dmix4,
+                        t3dmix2_geo)
 from .ops.step2d import Fast2DState, fast_loop
 from .ops.step3d_uv import step3d_uv
 from .ops.step3d_t import step3d_t
@@ -117,7 +118,13 @@ def step(cfg: Config, grid: Grid, state: State,
     ru, rv = prsgrd.prsgrd(cfg, grid, rho, z_r, z_w, Hz)
 
     if any(x != 0.0 for x in cfg.tnu2):
-        t_nnew = t3dmix2(cfg, grid, state.t, Hz, t_nnew, cfg.dt)
+        if cfg.ts_mix_geo:
+            t_nnew = t3dmix2_geo(cfg, grid, state.t, Hz, z_r, t_nnew,
+                                 cfg.dt)
+        else:
+            t_nnew = t3dmix2(cfg, grid, state.t, Hz, t_nnew, cfg.dt)
+    if cfg.ts_dif4 and any(x != 0.0 for x in cfg.tnu4):
+        t_nnew = t3dmix4(cfg, grid, state.t, Hz, t_nnew, cfg.dt)
 
     ru, rv, rufrc, rvfrc = rhs3d_momentum(
         cfg, grid, state.u, state.v, Huon, Hvom, W, Hz, ru, rv,
@@ -127,11 +134,15 @@ def step(cfg: Config, grid: Grid, state: State,
         u_nnew, v_nnew, rufrc, rvfrc = uv3dmix2(
             cfg, grid, state.u, state.v, Hz, u_nnew, v_nnew,
             rufrc, rvfrc, cfg.dt)
+    if cfg.uv_vis4 and cfg.visc4 != 0.0:
+        u_nnew, v_nnew, rufrc, rvfrc = uv3dmix4(
+            cfg, grid, state.u, state.v, Hz, u_nnew, v_nnew,
+            rufrc, rvfrc, cfg.dt)
 
     # --- GLS predictor (main3d.F:565-567) ---
     tke_new, gls_new = state.tke, state.gls
     Akk_new, Akp_new, Lscale_new = state.Akk, state.Akp, state.Lscale
-    if cfg.vmix == "gls":
+    if cfg.vmix in ("gls", "my25"):
         from .ops import gls as gls_mod
         tke3, gls3, tke_nnew, gls_nnew = gls_mod.gls_prestep(
             cfg, grid, cfg.gls_params, state.iic, state.tke, state.gls,
@@ -170,7 +181,7 @@ def step(cfg: Config, grid: Grid, state: State,
 
     # --- GLS corrector (main3d.F:791-793): updates Akv/Akt for the
     #     tracer step ---
-    if cfg.vmix == "gls":
+    if cfg.vmix in ("gls", "my25"):
         bvf_g = eos.brunt_vaisala(cfg, state.t, z_r, z_w)
         (tke_new, gls_new, Akv, Akt, Akk_new, Akp_new,
          Lscale_new) = gls_mod.gls_corstep(
