@@ -138,6 +138,9 @@ class Config:
     splines_vdiff: bool = True  # SPLINES_VDIFF
     splines_vvisc: bool = True  # SPLINES_VVISC
     wetdry: bool = False
+    uv_smagorinsky: bool = False   # UV_SMAGORINSKY (hmixing.F)
+    ts_smagorinsky: bool = False   # TS_SMAGORINSKY
+    smagor_coef: float = 0.1
 
     bulk_fluxes: bool = False   # BULK_FLUXES: COARE air-sea fluxes
 

@@ -47,6 +47,10 @@ class Grid:
     # fast-time-averaging filter weights (length 2*ndtfast, zeros past nfast)
     weight1: jax.Array
     weight2: jax.Array
+    # spatially varying mixing enhancement (sponge layers; the analog of
+    # ini_hmixcoef.F's visc2_r/diff2_r scaling) - 1.0 in the interior
+    visc_factor: jax.Array
+    diff_factor: jax.Array
 
     # -- derived staggered metrics (computed lazily; fused by XLA) --------
     @property
@@ -291,9 +295,34 @@ def _assemble(cfg: Config, h, f, pm, pn, xr, yr, rmask, umask, vmask, pmask):
         pmask=jnpa(pmask), dndx=jnpa(dndx), dmde=jnpa(dmde),
         sc_r=jnpa(sc_r), Cs_r=jnpa(Cs_r), sc_w=jnpa(sc_w), Cs_w=jnpa(Cs_w),
         weight1=jnpa(w1), weight2=jnpa(w2),
+        visc_factor=jnpa(np.ones_like(h)), diff_factor=jnpa(np.ones_like(h)),
     )
     return grid, cfg
 
 
 def hc_of(cfg: Config) -> float:
     return vgrid.compute_hc(cfg.vtransform, cfg.tcline, cfg.hmin)
+
+
+def add_sponge(grid: Grid, cfg: Config, width: int, factor: float,
+               sides=("west", "south", "east", "north")) -> Grid:
+    """Linear sponge layers: ramp visc/diff factors from `factor` at open
+    edges to 1 over `width` interior cells (ini_hmixcoef.F sponge logic)."""
+    H = cfg.halo
+    vf = np.asarray(grid.visc_factor).copy()
+    ny, nx = vf.shape
+    ramp = np.linspace(factor, 1.0, width, endpoint=False)
+    for w in range(width):
+        r = ramp[w]
+        if "west" in sides and not cfg.ew_periodic:
+            vf[:, H + w] = np.maximum(vf[:, H + w], r)
+        if "east" in sides and not cfg.ew_periodic:
+            vf[:, H + cfg.Lm - 1 - w] = np.maximum(
+                vf[:, H + cfg.Lm - 1 - w], r)
+        if "south" in sides and not cfg.ns_periodic:
+            vf[H + w, :] = np.maximum(vf[H + w, :], r)
+        if "north" in sides and not cfg.ns_periodic:
+            vf[H + cfg.Mm - 1 - w, :] = np.maximum(
+                vf[H + cfg.Mm - 1 - w, :], r)
+    vfj = jnp.asarray(vf, dtype=grid.visc_factor.dtype)
+    return grid.replace(visc_factor=vfj, diff_factor=vfj)

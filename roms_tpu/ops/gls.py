@@ -189,8 +189,7 @@ def _gls_tridiag(BCd, FC, rhs, flux_t, flux_b):
 
     rhs = rhs.at[-1].add(-flux_t)
     zero = jnp.zeros_like(rhs[0])
-    (_, _), (CFs, xs, cffs) = jax.lax.scan(
-        down, (zero, zero), (BCd, FC, FC_up, rhs), reverse=True)
+    (_, _), (CFs, xs, cffs) = jax.lax.scan(down, (zero, zero), (BCd, FC, FC_up, rhs), reverse=True)
     xs = xs.at[0].add(-cffs[0] * flux_b)
 
     def up(xm1, xs_k):

@@ -16,6 +16,18 @@ from ..grid import Grid
 from .stencil import ip1, im1, jp1, jm1
 
 
+def smagorinsky_visc(cfg: Config, grid: Grid, u, v):
+    """Deformation-rate-dependent viscosity (hmixing.F UV_SMAGORINSKY):
+    visc = SmagorCoef * (cell area) * |D| added to the background."""
+    pm, pn = grid.pm, grid.pn
+    DefRate = jnp.sqrt(
+        ((ip1(u) - u) * pm) ** 2 + ((jp1(v) - v) * pn) ** 2 +
+        0.5 * (0.25 * pn * (jp1(u) + ip1(jp1(u)) - jm1(u) - ip1(jm1(u))) +
+               0.25 * pm * (ip1(v) + ip1(jp1(v)) - im1(v) - im1(jp1(v)))
+               ) ** 2)
+    return cfg.smagor_coef * grid.omn * DefRate
+
+
 def uv3dmix2(cfg: Config, grid: Grid, u, v, Hz, u_nnew, v_nnew,
              rufrc, rvfrc, dt: float):
     """Harmonic s-surface viscosity (uv3dmix2_s.h K_LOOP).
@@ -23,7 +35,9 @@ def uv3dmix2(cfg: Config, grid: Grid, u, v, Hz, u_nnew, v_nnew,
     u/v: velocity at nrhs (N,Ny,Nx); Hz at nrhs; updates (u_nnew, v_nnew,
     rufrc, rvfrc)."""
     pm, pn = grid.pm, grid.pn
-    visc2 = cfg.visc2
+    visc2 = cfg.visc2 * grid.visc_factor
+    if cfg.uv_smagorinsky:
+        visc2 = visc2 + smagorinsky_visc(cfg, grid, u, v)
     cff_r = Hz * 0.5 * (
         (pm / pn) * ((pn + ip1(pn)) * ip1(u) - (im1(pn) + pn) * u) -
         (pn / pm) * ((pm + jp1(pm)) * jp1(v) - (jm1(pm) + pm) * v))
@@ -40,7 +54,8 @@ def uv3dmix2(cfg: Config, grid: Grid, u, v, Hz, u_nnew, v_nnew,
         ((im1(pm) + pm) * u - (im1(jm1(pm)) + jm1(pm)) * jm1(u)))
     om_p = 4.0 / sum_pm
     on_p = 4.0 / sum_pn
-    cff_p = cff_p * grid.pmask * visc2
+    visc2_p = 0.25 * (visc2 + im1(visc2) + jm1(visc2) + im1(jm1(visc2)))
+    cff_p = cff_p * grid.pmask * visc2_p
     UFe = om_p * om_p * cff_p
     VFx = on_p * on_p * cff_p
 
@@ -71,8 +86,9 @@ def t3dmix2(cfg: Config, grid: Grid, t, Hz, t_nnew, dt: float):
             out.append(t_nnew[itrc])
             continue
         q = t[itrc]
-        FX = 0.25 * (2.0 * diff2) * pmon_u * (Hz + im1(Hz)) * (q - im1(q))
-        FE = 0.25 * (2.0 * diff2) * pnom_v * (Hz + jm1(Hz)) * (q - jm1(q))
+        d2 = diff2 * grid.diff_factor
+        FX = 0.25 * (d2 + im1(d2)) * pmon_u * (Hz + im1(Hz)) * (q - im1(q))
+        FE = 0.25 * (d2 + jm1(d2)) * pnom_v * (Hz + jm1(Hz)) * (q - jm1(q))
         out.append(t_nnew[itrc] + dt * pm * pn *
                    ((ip1(FX) - FX) + (jp1(FE) - FE)))
     return jnp.stack(out, axis=0)

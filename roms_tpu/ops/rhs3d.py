@@ -20,7 +20,7 @@ GADV = -0.25
 
 
 def rhs3d_momentum(cfg: Config, grid: Grid, u, v, Huon, Hvom, W, Hz,
-                   ru, rv, sustr, svstr, bustr, bvstr):
+                   ru, rv, sustr, svstr, bustr, bvstr, clm=None):
     H = cfg.halo
     L, M = cfg.Lm, cfg.Mm
 
@@ -111,6 +111,14 @@ def rhs3d_momentum(cfg: Config, grid: Grid, u, v, Huon, Hvom, W, Hz,
                  c2 * (v[N - 3] + v[N - 1])) * Wv[N - 1])[None]
         FCv = jnp.concatenate([zero, f1, flux_int, fNm1, zero], axis=0)
         rv = rv - (FCv[1:] - FCv[:-1])
+
+    # ---- nudging toward 3-D momentum climatology (rhs3d.F:211-241) ----
+    if clm is not None and "uclm" in clm:
+        nudg = clm.get("m3nudg", 0.0)
+        area_u = grid.om_u * grid.on_u
+        area_v = grid.om_v * grid.on_v
+        ru = ru + nudg * area_u * 0.5 * (Hz + im1(Hz)) * (clm["uclm"] - u)
+        rv = rv + nudg * area_v * 0.5 * (Hz + jm1(Hz)) * (clm["vclm"] - v)
 
     # ---- vertical integral -> barotropic forcing (rhs3d.F:523-559) ----
     rufrc = jnp.sum(ru, axis=0) + (sustr - bustr) * grid.om_u * grid.on_u

@@ -239,7 +239,7 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
               ru0_nm1=None, ru0_nm2=None, rv0_nm1=None, rv0_nm2=None,
               iic: int | jax.Array = 0,
               forcing: Optional[Forcing2D] = None,
-              bry=None):
+              bry=None, sources=None):
     """Run the full fast loop of one slow step (SOLVE3D mode): nfast LF-AM3
     fast steps plus the auxiliary averaging step.
 
@@ -292,6 +292,14 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
             v_new = bc.fill_halo(cfg, v_new)
         return v_new
 
+    def srcs(u_new, v_new, z_new):
+        if sources is None:
+            return u_new, v_new
+        from .sources import apply_ubar_sources
+        u_new, v_new = apply_ubar_sources(sources, u_new, v_new, z_new,
+                                          grid.h, grid.on_u, grid.om_v)
+        return bc.fill_halo(cfg, u_new), bc.fill_halo(cfg, v_new)
+
     if rufrc is None:
         rufrc = zero
         rvfrc = zero
@@ -332,6 +340,7 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
         0.5 * dtfast * rhs_ubar, 0.5 * dtfast * rhs_vbar)
     ubar_p = ubc(ubar_p, fs.ubar_n, fs.zeta_n, dtfast)
     vbar_p = vbc(vbar_p, fs.vbar_n, fs.zeta_n, dtfast)
+    ubar_p, vbar_p = srcs(ubar_p, vbar_p, zeta_p)
     fs = fs.replace(
         rzeta_nm1=fs.rzeta_n, rzeta_n=bc.fill_halo(cfg, rhs_zeta),
         rubar_nm1=fs.rubar_n, rubar_n=rhs_ubar,
@@ -371,6 +380,7 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
             cm1 * rhs_vbar + cm2 * fs.rvbar_n - cm3 * fs.rvbar_nm1)
         ubar_new = ubc(ubar_new, fs.ubar_n, fs.zeta_n, dtfast)
         vbar_new = vbc(vbar_new, fs.vbar_n, fs.zeta_n, dtfast)
+        ubar_new, vbar_new = srcs(ubar_new, vbar_new, zeta_new)
         return fs.replace(
             zeta_nm1=fs.zeta_n, zeta_n=zeta_new,
             ubar_nm1=fs.ubar_n, ubar_n=ubar_new,
@@ -412,6 +422,7 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
             dtfast * rhs_ubar, dtfast * rhs_vbar)
         ubar_p = ubc(ubar_p, fs.ubar_n, fs.zeta_n, 2.0 * dtfast)
         vbar_p = vbc(vbar_p, fs.vbar_n, fs.zeta_n, 2.0 * dtfast)
+        ubar_p, vbar_p = srcs(ubar_p, vbar_p, zeta_p)
         fs = fs.replace(
             rzeta_nm1=fs.rzeta_n, rzeta_n=bc.fill_halo(cfg, rhs_zeta),
             rubar_nm1=fs.rubar_n, rubar_n=rhs_ubar,
@@ -502,6 +513,7 @@ def step_2d_only(cfg: Config, grid: Grid, fs: Fast2DState, first: bool,
         cm * rhs_ubar, cm * rhs_vbar)
     ubar_p = ubc(ubar_p, fs.ubar_n, fs.zeta_n, dtfast)
     vbar_p = vbc(vbar_p, fs.vbar_n, fs.zeta_n, dtfast)
+    ubar_p, vbar_p = srcs(ubar_p, vbar_p, zeta_p)
     fs = fs.replace(
         rzeta_nm1=fs.rzeta_n, rzeta_n=bc.fill_halo(cfg, rhs_zeta),
         rubar_nm1=fs.rubar_n, rubar_n=rhs_ubar,

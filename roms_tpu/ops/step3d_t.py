@@ -19,7 +19,8 @@ from .tridiag import spline_vdiff_flux, thomas_implicit
 
 
 def step3d_t(cfg: Config, grid: Grid, iic, t_nnew, t3, Huon, Hvom, W,
-             Hz_new, z_r_new, Akt, t_old=None, bry=None):
+             Hz_new, z_r_new, Akt, t_old=None, bry=None, clm=None,
+             sources=None):
     dt = cfg.dt
     pmn = grid.pm * grid.pn
     oHz = 1.0 / Hz_new
@@ -32,6 +33,10 @@ def step3d_t(cfg: Config, grid: Grid, iic, t_nnew, t3, Huon, Hvom, W,
 
         FX, FE = hadv_fluxes(cfg, hscheme, t3[itrc], Huon, Hvom,
                              grid=grid, Hz=Hz_new, dt=dt)
+        if sources is not None:
+            from .sources import apply_tracer_flux_sources
+            FX, FE = apply_tracer_flux_sources(sources, itrc, FX, FE,
+                                               Huon, Hvom)
         tn = t_nnew[itrc] - dt * pmn * ((ip1(FX) - FX) + (jp1(FE) - FE))
 
         FC = vadv_flux(vscheme, t3[itrc], W, Hz_new, "corrector",
@@ -46,6 +51,11 @@ def step3d_t(cfg: Config, grid: Grid, iic, t_nnew, t3, Huon, Hvom, W,
             tn = thomas_implicit(dt, 1.0, Hz_new, z_r_new, Akt[ltrc],
                                  tn * Hz_new)
 
+        # nudging toward tracer climatology (step3d_t.F:1172-1185)
+        if clm is not None and "tclm" in clm:
+            nudg = clm.get("tnudg", 0.0)
+            coef = nudg[itrc] if hasattr(nudg, "__len__") else nudg
+            tn = tn + dt * coef * (clm["tclm"][itrc] - tn)
         tn = bc.apply_bc_rho(cfg, cfg.lbc_t, tn)
         if t_old is not None and bc.has_advanced(cfg.lbc_t):
             tname = "temp" if itrc == 0 else ("salt" if itrc == 1

@@ -25,7 +25,8 @@ from .tridiag import spline_vdiff_flux
 
 def step3d_uv(cfg: Config, grid: Grid, iic, u_nnew, v_nnew, ru, rv,
               Hz_new, Akv, DU_avg1, DV_avg1, DU_avg2, DV_avg2,
-              Huon_old, Hvom_old, u_old=None, v_old=None, bry=None):
+              Huon_old, Hvom_old, u_old=None, v_old=None, bry=None,
+              sources=None, z_w_new=None):
     """Returns (u, v, ubar, vbar, Huon, Hvom), all halo-filled."""
     dt = cfg.dt
     pm, pn = grid.pm, grid.pn
@@ -73,6 +74,10 @@ def step3d_uv(cfg: Config, grid: Grid, iic, u_nnew, v_nnew, ru, rv,
         u = bc.fill_halo(cfg, obc.u3dbc(cfg, grid, cfg.lbc_u, u_old, u, bry))
     if v_old is not None and bc.has_advanced(cfg.lbc_v):
         v = bc.fill_halo(cfg, obc.v3dbc(cfg, grid, cfg.lbc_v, v_old, v, bry))
+    if sources is not None and z_w_new is not None:
+        from .sources import apply_uv_sources
+        u, v = apply_uv_sources(sources, u, v, z_w_new, grid.on_u,
+                                grid.om_v)
 
     # ---------------- 2D/3D coupling (step3d_uv.F:997-1213) ----------------
     DCk_u = 0.5 * grid.on_u * (Hz_new + im1(Hz_new))

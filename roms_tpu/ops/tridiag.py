@@ -96,8 +96,7 @@ def spline_interp_flux(Hz, q, W, c_bot: float, cf1: float,
         FCk = cff * (3.0 * (Hzk * qk1 + Hzk1 * qk) - Hzk1 * FCm1)
         return (CFk1, FCk), (CFk1, FCk)
 
-    (CF_N, FC_Nm1), (CFs, FCs) = jax.lax.scan(
-        fwd, (CF1, FC0), (Hz[:-1], Hz[1:], q[:-1], q[1:]))
+    (CF_N, FC_Nm1), (CFs, FCs) = jax.lax.scan(fwd, (CF1, FC0), (Hz[:-1], Hz[1:], q[:-1], q[1:]))
     # CFs[kk] = CF(k+1), FCs[kk] = FC(k) for ROMS k = kk+1 (1..N-1)
     FC_N = (c_top * q[-1] - FC_Nm1) / (d_top - CF_N)
 
@@ -135,8 +134,7 @@ def thomas_implicit(dt: float, lam: float, Hz, z_r, AK, rhs_mass):
         DCk = cff * (r - FCkm1 * DCp)
         return (CFk, DCk), (CFk, DCk)
 
-    (_, _), (CFs, DCs) = jax.lax.scan(
-        fwd, (zero, zero), (FC[:-1], FC[1:], BC, rhs_mass))
+    (_, _), (CFs, DCs) = jax.lax.scan(fwd, (zero, zero), (FC[:-1], FC[1:], BC, rhs_mass))
 
     def bwd(qnext, xs):
         CFk, DCk = xs

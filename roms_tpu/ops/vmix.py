@@ -104,8 +104,7 @@ def _spline_deriv(Hz, rhs):
         dk = cff * (r - Hzk * dm1)
         return (FCk, dk), (FCk, dk)
 
-    (_, _), (FCs, ds) = jax.lax.scan(
-        fwd, (zero, zero), (Hz[:-1], Hz[1:], rhs))
+    (_, _), (FCs, ds) = jax.lax.scan(fwd, (zero, zero), (Hz[:-1], Hz[1:], rhs))
 
     def bwd(dnext, xs):
         FCk, dk = xs
@@ -119,18 +118,21 @@ def _spline_deriv(Hz, rhs):
 def _wscale(Ustar, zeta_hat):
     """Turbulent velocity scales (wm, ws) from the similarity functions
     (lmd_skpp.F): zeta_hat = vonKar*sigma*Bflux."""
-    Ustar3 = Ustar ** 3
+    Ustar3 = Ustar * Ustar * Ustar
     zetapar = zeta_hat / (Ustar3 + small)
     wm_st = vonKar * Ustar / (1.0 + 5.0 * zetapar)
-    r3 = 1.0 / 3.0
+    # pow() is transcendental-heavy on the VPU; use sqrt/cbrt chains
+    s16 = jnp.sqrt(jnp.maximum(1.0 - 16.0 * zetapar, 0.0))
     wm_un = jnp.where(
         zetapar > lmd_zetam,
-        vonKar * Ustar * jnp.maximum(1.0 - 16.0 * zetapar, 0.0) ** 0.25,
-        vonKar * jnp.maximum(lmd_am * Ustar3 - lmd_cm * zeta_hat, 0.0) ** r3)
+        vonKar * Ustar * jnp.sqrt(s16),
+        vonKar * jnp.cbrt(jnp.maximum(lmd_am * Ustar3 - lmd_cm * zeta_hat,
+                                      0.0)))
     ws_un = jnp.where(
         zetapar > lmd_zetas,
-        vonKar * Ustar * jnp.sqrt(jnp.maximum(1.0 - 16.0 * zetapar, 0.0)),
-        vonKar * jnp.maximum(lmd_as * Ustar3 - lmd_cs * zeta_hat, 0.0) ** r3)
+        vonKar * Ustar * s16,
+        vonKar * jnp.cbrt(jnp.maximum(lmd_as * Ustar3 - lmd_cs * zeta_hat,
+                                      0.0)))
     stable = zeta_hat >= 0.0
     wm = jnp.where(stable, wm_st, wm_un)
     ws = jnp.where(stable, wm_st, ws_un)

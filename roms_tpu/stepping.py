@@ -126,9 +126,10 @@ def step(cfg: Config, grid: Grid, state: State,
     if cfg.ts_dif4 and any(x != 0.0 for x in cfg.tnu4):
         t_nnew = t3dmix4(cfg, grid, state.t, Hz, t_nnew, cfg.dt)
 
+    clm = frc.get("clm", None)
     ru, rv, rufrc, rvfrc = rhs3d_momentum(
         cfg, grid, state.u, state.v, Huon, Hvom, W, Hz, ru, rv,
-        sustr, svstr, bustr, bvstr)
+        sustr, svstr, bustr, bvstr, clm=clm)
 
     if cfg.uv_vis2 and cfg.visc2 != 0.0:
         u_nnew, v_nnew, rufrc, rvfrc = uv3dmix2(
@@ -159,11 +160,12 @@ def step(cfg: Config, grid: Grid, state: State,
         Zt_avg1=zero2, DU_avg1=zero2, DV_avg1=zero2,
         DU_avg2=zero2, DV_avg2=zero2)
     bry = frc.get("bry", None)
+    sources = frc.get("sources", None)
     fs, rufrc_c, rvfrc_c = fast_loop(
         cfg, grid, fs, rufrc=rufrc, rvfrc=rvfrc,
         ru0_nm1=state.rufrc0_prev, ru0_nm2=state.rufrc0_prev2,
         rv0_nm1=state.rvfrc0_prev, rv0_nm2=state.rvfrc0_prev2,
-        iic=state.iic, bry=bry)
+        iic=state.iic, bry=bry, sources=sources)
 
     # --- new depths from the filtered free surface (main3d.F:736) ---
     z_r2, z_w2, Hz2 = vgrid.set_depth(grid.h, fs.Zt_avg1, hc, grid.sc_r,
@@ -174,7 +176,8 @@ def step(cfg: Config, grid: Grid, state: State,
     u2, v2, ubar2, vbar2, Huon2, Hvom2 = step3d_uv(
         cfg, grid, state.iic, u_nnew, v_nnew, ru, rv, Hz2, Akv,
         fs.DU_avg1, fs.DV_avg1, fs.DU_avg2, fs.DV_avg2, Huon, Hvom,
-        u_old=state.u, v_old=state.v, bry=bry)
+        u_old=state.u, v_old=state.v, bry=bry, sources=sources,
+        z_w_new=z_w2)
 
     # --- omega with corrected fluxes (main3d.F:789) ---
     W2 = omega(cfg, grid, Huon2, Hvom2, z_w2)
@@ -193,7 +196,8 @@ def step(cfg: Config, grid: Grid, state: State,
 
     # --- tracer corrector (main3d.F:814) ---
     t2 = step3d_t(cfg, grid, state.iic, t_nnew, t3, Huon2, Hvom2, W2,
-                  Hz2, z_r2, Akt, t_old=state.t, bry=bry)
+                  Hz2, z_r2, Akt, t_old=state.t, bry=bry, clm=clm,
+                  sources=sources)
 
     return state.replace(
         time=state.time + cfg.dt, iic=state.iic + 1,

@@ -1,0 +1,85 @@
+"""YAML run configuration (the analog of the reference's roms_*.in keyword
+scripts parsed by inp_par.F/read_phypar.F).
+
+Schema::
+
+    case: upwelling            # model case builder (models registry)
+    nsteps: 1440               # NTIMES
+    config:                    # overrides of Config fields (DT, NDTFAST...)
+      dt: 300.0
+      ndtfast: 30
+      Lm: 41
+    output:
+      his_file: ocean_his.nc   # HISNAME
+      nhis: 72                 # NHIS
+      rst_file: ocean_rst      # RSTNAME
+      nrst: 288                # NRST
+      ninfo: 10                # NINFO
+"""
+
+from __future__ import annotations
+
+import importlib
+from typing import Tuple
+
+import yaml
+
+CASES = {
+    "upwelling": ("roms_tpu.models.upwelling", "build", "make_config"),
+    "benchmark": ("roms_tpu.models.benchmark", "build", "make_config"),
+    "soliton": ("roms_tpu.models.soliton", "build", "make_config"),
+    "basin": ("roms_tpu.models.cases", "basin", None),
+    "double_gyre": ("roms_tpu.models.cases", "double_gyre", None),
+    "grav_adj": ("roms_tpu.models.cases", "grav_adj", None),
+    "seamount": ("roms_tpu.models.cases", "seamount", None),
+    "canyon3d": ("roms_tpu.models.cases", "canyon3d", None),
+    "kelvin": ("roms_tpu.models.cases", "kelvin", None),
+}
+
+
+def build_from_yaml(path: str):
+    """Returns (cfg, grid, state0, forcing_fn, run_opts dict)."""
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    return build_from_dict(doc)
+
+
+def build_from_dict(doc: dict):
+    case = doc.get("case", "upwelling")
+    if case not in CASES:
+        raise ValueError(f"unknown case '{case}'; known: {sorted(CASES)}")
+    modname, buildname, mkcfgname = CASES[case]
+    mod = importlib.import_module(modname)
+    overrides = doc.get("config", {}) or {}
+
+    if mkcfgname is not None:
+        mkcfg = getattr(mod, mkcfgname)
+        import inspect
+        sig = inspect.signature(mkcfg)
+        mk_kwargs = {k: v for k, v in overrides.items()
+                     if k in sig.parameters}
+        cfg = mkcfg(**mk_kwargs)
+        rest = {k: v for k, v in overrides.items()
+                if k not in sig.parameters}
+        if rest:
+            cfg = cfg.replace(**rest)
+        out = getattr(mod, buildname)(cfg)
+    else:
+        builder = getattr(mod, buildname)
+        import inspect
+        sig = inspect.signature(builder)
+        b_kwargs = {k: v for k, v in overrides.items()
+                    if k in sig.parameters}
+        out = builder(**b_kwargs)
+
+    if len(out) == 4:
+        cfg, grid, state0, forcing_fn = out
+        mode = "3d"
+    else:                       # 2D-only cases (soliton): (cfg, grid, fs)
+        cfg, grid, state0 = out
+        forcing_fn = None
+        mode = "2d"
+    run_opts = dict(doc.get("output", {}) or {})
+    run_opts["nsteps"] = int(doc.get("nsteps", 0))
+    run_opts["mode"] = mode
+    return cfg, grid, state0, forcing_fn, run_opts
