@@ -141,6 +141,7 @@ class Config:
     uv_smagorinsky: bool = False   # UV_SMAGORINSKY (hmixing.F)
     ts_smagorinsky: bool = False   # TS_SMAGORINSKY
     smagor_coef: float = 0.1
+    use_sponge: bool = False    # enable grid.visc/diff_factor scaling
 
     bulk_fluxes: bool = False   # BULK_FLUXES: COARE air-sea fluxes
 

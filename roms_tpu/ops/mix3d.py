@@ -35,7 +35,7 @@ def uv3dmix2(cfg: Config, grid: Grid, u, v, Hz, u_nnew, v_nnew,
     u/v: velocity at nrhs (N,Ny,Nx); Hz at nrhs; updates (u_nnew, v_nnew,
     rufrc, rvfrc)."""
     pm, pn = grid.pm, grid.pn
-    visc2 = cfg.visc2 * grid.visc_factor
+    visc2 = cfg.visc2 * grid.visc_factor if cfg.use_sponge else cfg.visc2
     if cfg.uv_smagorinsky:
         visc2 = visc2 + smagorinsky_visc(cfg, grid, u, v)
     cff_r = Hz * 0.5 * (
@@ -54,7 +54,11 @@ def uv3dmix2(cfg: Config, grid: Grid, u, v, Hz, u_nnew, v_nnew,
         ((im1(pm) + pm) * u - (im1(jm1(pm)) + jm1(pm)) * jm1(u)))
     om_p = 4.0 / sum_pm
     on_p = 4.0 / sum_pn
-    visc2_p = 0.25 * (visc2 + im1(visc2) + jm1(visc2) + im1(jm1(visc2)))
+    if cfg.use_sponge or cfg.uv_smagorinsky:
+        visc2_p = 0.25 * (visc2 + im1(visc2) + jm1(visc2) +
+                          im1(jm1(visc2)))
+    else:
+        visc2_p = visc2
     cff_p = cff_p * grid.pmask * visc2_p
     UFe = om_p * om_p * cff_p
     VFx = on_p * on_p * cff_p
@@ -86,9 +90,15 @@ def t3dmix2(cfg: Config, grid: Grid, t, Hz, t_nnew, dt: float):
             out.append(t_nnew[itrc])
             continue
         q = t[itrc]
-        d2 = diff2 * grid.diff_factor
-        FX = 0.25 * (d2 + im1(d2)) * pmon_u * (Hz + im1(Hz)) * (q - im1(q))
-        FE = 0.25 * (d2 + jm1(d2)) * pnom_v * (Hz + jm1(Hz)) * (q - jm1(q))
+        if cfg.use_sponge:
+            d2 = diff2 * grid.diff_factor
+            fx_c = 0.25 * (d2 + im1(d2))
+            fe_c = 0.25 * (d2 + jm1(d2))
+        else:
+            fx_c = 0.5 * diff2
+            fe_c = 0.5 * diff2
+        FX = fx_c * pmon_u * (Hz + im1(Hz)) * (q - im1(q))
+        FE = fe_c * pnom_v * (Hz + jm1(Hz)) * (q - jm1(q))
         out.append(t_nnew[itrc] + dt * pm * pn *
                    ((ip1(FX) - FX) + (jp1(FE) - FE)))
     return jnp.stack(out, axis=0)

@@ -1,0 +1,65 @@
+"""Lagrangian floats: advection accuracy in a known flow."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from roms_tpu.models import upwelling
+from roms_tpu import stepping, floats
+from roms_tpu import vgrid
+from roms_tpu.grid import hc_of
+from roms_tpu.ops.omega import set_massflux, omega
+
+
+def test_floats_uniform_flow_advection():
+    """Floats in a prescribed uniform zonal flow must travel u*t."""
+    cfg = upwelling.make_config(Lm=24, Mm=16, N=6, ndtfast=8)
+    cfg, grid, s0, ffn = upwelling.build(cfg)
+    u0 = 0.3   # m/s
+    s = s0.replace(u=jnp.full_like(s0.u, u0))
+    hc = hc_of(cfg)
+    z_r, z_w, Hz = vgrid.set_depth(grid.h, s.zeta, hc, grid.sc_r,
+                                   grid.Cs_r, grid.sc_w, grid.Cs_w,
+                                   cfg.vtransform)
+    Huon, Hvom = set_massflux(cfg, grid, s.u, s.v, Hz)
+    W = omega(cfg, grid, Huon, Hvom, z_w)
+
+    fl = floats.init_floats(jnp.array([5.0, 12.0]),
+                            jnp.array([8.0, 8.0]),
+                            jnp.array([3.0, 5.0]))
+    stepf = jax.jit(lambda fl: floats.step_floats(cfg, grid, s.u, s.v, W,
+                                                  Hz, fl))
+    nsteps = 20
+    for _ in range(nsteps):
+        fl = stepf(fl)
+    dx_cells = np.asarray(fl.xg[3]) - np.array([5.0, 12.0])
+    # expected displacement in cells: u0 * t * pm (dx = 1000 m)
+    expected = u0 * nsteps * cfg.dt / 1000.0
+    np.testing.assert_allclose(dx_cells, expected, rtol=1e-3)
+    # no meridional or vertical drift in uniform zonal flow
+    assert np.abs(np.asarray(fl.yg[3]) - 8.0).max() < 1e-6
+    assert np.isfinite(np.asarray(fl.zg)).all()
+
+
+def test_floats_follow_model_flow():
+    """Floats advected by an evolving UPWELLING run stay bounded/finite."""
+    cfg = upwelling.make_config(Lm=16, Mm=24, N=6, ndtfast=8)
+    cfg, grid, s0, ffn = upwelling.build(cfg)
+    stepm = stepping.make_stepper(cfg, grid, ffn, donate=False)
+    fl = floats.init_floats(jnp.linspace(2.0, 14.0, 5),
+                            jnp.full(5, 12.0), jnp.full(5, 5.0))
+    s = s0
+    hc = hc_of(cfg)
+    for _ in range(15):
+        s = stepm(s)
+        z_r, z_w, Hz = vgrid.set_depth(grid.h, s.zeta, hc, grid.sc_r,
+                                       grid.Cs_r, grid.sc_w, grid.Cs_w,
+                                       cfg.vtransform)
+        Huon, Hvom = set_massflux(cfg, grid, s.u, s.v, Hz)
+        W = omega(cfg, grid, Huon, Hvom, z_w)
+        fl = floats.step_floats(cfg, grid, s.u, s.v, W, Hz, fl)
+    assert np.isfinite(np.asarray(fl.xg)).all()
+    x = np.asarray(fl.xg[3])
+    y = np.asarray(fl.yg[3])
+    assert ((x > 0) & (x < cfg.Lm + 1)).all()
+    assert ((y > 0) & (y < cfg.Mm + 1)).all()
