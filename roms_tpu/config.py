@@ -142,6 +142,9 @@ class Config:
     ts_smagorinsky: bool = False   # TS_SMAGORINSKY
     smagor_coef: float = 0.1
     use_sponge: bool = False    # enable grid.visc/diff_factor scaling
+    # open-boundary volume conservation sides (obc_volcons.F), e.g.
+    # ("west", "east"); empty = off
+    volcons: Tuple[str, ...] = ()
 
     bulk_fluxes: bool = False   # BULK_FLUXES: COARE air-sea fluxes
 

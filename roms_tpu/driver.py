@@ -28,10 +28,13 @@ class BlowupError(RuntimeError):
 
 
 class Simulation:
+    AVG_FIELDS = ("zeta", "ubar", "vbar", "u", "v", "t")
+
     def __init__(self, cfg: Config, grid: Grid, state: State,
                  forcing_fn: Optional[Callable] = None,
                  his_file: Optional[str] = None, nhis: int = 0,
                  rst_file: Optional[str] = None, nrst: int = 0,
+                 avg_file: Optional[str] = None, navg: int = 0,
                  ninfo: int = 10, log: Callable = print,
                  steps_per_call: int = 1):
         self.cfg = cfg
@@ -60,6 +63,21 @@ class Simulation:
         if his_file and nhis > 0:
             from .io.netcdf import HistoryWriter
             self.writer = HistoryWriter(his_file, cfg, grid)
+        # time-averaged output (mod_average.F accumulators, set_avg.F)
+        self.navg = navg
+        self.avg_writer = None
+        self._avg_acc = None
+        if avg_file and navg > 0:
+            from .io.netcdf import HistoryWriter
+            self.avg_writer = HistoryWriter(avg_file, cfg, grid)
+            import jax.numpy as jnp
+            self._avg_add = jax.jit(
+                lambda acc, s: {k: acc[k] + getattr(s, k)
+                                for k in self.AVG_FIELDS})
+            self._avg_zero = {
+                k: jax.numpy.zeros_like(getattr(state, k))
+                for k in self.AVG_FIELDS}
+            self._avg_acc = dict(self._avg_zero)
 
     # -- ROMS_run ------------------------------------------------------
     def run(self, nsteps: int):
@@ -89,6 +107,19 @@ class Simulation:
             if self.writer and iic % self.nhis == 0:
                 with self.profiler.region("output: history"):
                     self.writer.write(jax.device_get(self.state))
+            if self.avg_writer:
+                with self.profiler.region("output: averages"):
+                    self._avg_acc = self._avg_add(self._avg_acc,
+                                                  self.state)
+                    if iic % self.navg == 0:
+                        mean = jax.device_get(jax.tree_util.tree_map(
+                            lambda a: a / self.navg, self._avg_acc))
+                        rec = self.state.replace(**mean)
+                        self.avg_writer.write(
+                            jax.device_get(rec),
+                            time=float(self.state.time) -
+                            0.5 * self.navg * self.cfg.dt)
+                        self._avg_acc = dict(self._avg_zero)
             if self.rst_file and self.nrst and iic % self.nrst == 0:
                 with self.profiler.region("output: restart"):
                     self._write_rst()
@@ -102,6 +133,8 @@ class Simulation:
     def finalize(self):
         if self.writer:
             self.writer.close()
+        if self.avg_writer:
+            self.avg_writer.close()
         self.log(self.profiler.report())
 
 

@@ -330,3 +330,51 @@ def v3dbc(cfg: Config, grid, lbc: LBC, v_know, v_kout, bry=None):
             ext = bry.get(f"v_{side}", 0.0)
             v_kout = clamped(cfg, v_kout, side, ab, ext, mask=grid.vmask)
     return v_kout
+
+
+def obc_volcons(cfg: Config, grid, ubar, vbar, zeta, volcons):
+    """Integral volume conservation across open boundaries
+    (obc_volcons.F obc_flux_tile): compute the net inflow and subtract a
+    uniform cross-section correction velocity at every participating
+    open-boundary face.  volcons: set of sides, e.g. {"west","east"}."""
+    H = cfg.halo
+    L, M = cfg.Lm, cfg.Mm
+    D = zeta + grid.h
+    area = jnp.asarray(0.0, ubar.dtype)
+    flux = jnp.asarray(0.0, ubar.dtype)
+    jj = slice(H, H + M)
+    ii = slice(H, H + L)
+    if "west" in volcons:
+        cff = 0.5 * (D[jj, H - 1] + D[jj, H])
+        on_u_w = 2.0 / (grid.pn[jj, H - 1] + grid.pn[jj, H])
+        cw = cff * on_u_w * grid.umask[jj, H]
+        area = area + jnp.sum(cw)
+        flux = flux + jnp.sum(cw * ubar[jj, H])
+    if "east" in volcons:
+        cff = 0.5 * (D[jj, H + L - 1] + D[jj, H + L])
+        on_u_e = 2.0 / (grid.pn[jj, H + L - 1] + grid.pn[jj, H + L])
+        ce = cff * on_u_e * grid.umask[jj, H + L]
+        area = area + jnp.sum(ce)
+        flux = flux - jnp.sum(ce * ubar[jj, H + L])
+    if "south" in volcons:
+        cff = 0.5 * (D[H - 1, ii] + D[H, ii])
+        om_v_s = 2.0 / (grid.pm[H - 1, ii] + grid.pm[H, ii])
+        cs = cff * om_v_s * grid.vmask[H, ii]
+        area = area + jnp.sum(cs)
+        flux = flux + jnp.sum(cs * vbar[H, ii])
+    if "north" in volcons:
+        cff = 0.5 * (D[H + M - 1, ii] + D[H + M, ii])
+        om_v_n = 2.0 / (grid.pm[H + M - 1, ii] + grid.pm[H + M, ii])
+        cn = cff * om_v_n * grid.vmask[H + M, ii]
+        area = area + jnp.sum(cn)
+        flux = flux - jnp.sum(cn * vbar[H + M, ii])
+    ubar_xs = flux / jnp.maximum(area, _EPS)
+    if "west" in volcons:
+        ubar = ubar.at[jj, H].add(-ubar_xs)
+    if "east" in volcons:
+        ubar = ubar.at[jj, H + L].add(ubar_xs)
+    if "south" in volcons:
+        vbar = vbar.at[H, ii].add(-ubar_xs)
+    if "north" in volcons:
+        vbar = vbar.at[H + M, ii].add(ubar_xs)
+    return ubar, vbar

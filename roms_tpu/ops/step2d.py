@@ -293,6 +293,11 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
         return v_new
 
     def srcs(u_new, v_new, z_new):
+        if cfg.volcons:
+            u_new, v_new = obc.obc_volcons(cfg, grid, u_new, v_new,
+                                           z_new, set(cfg.volcons))
+            u_new = bc.fill_halo(cfg, u_new)
+            v_new = bc.fill_halo(cfg, v_new)
         if sources is None:
             return u_new, v_new
         from .sources import apply_ubar_sources
@@ -448,7 +453,7 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
 
 def step_2d_only(cfg: Config, grid: Grid, fs: Fast2DState, first: bool,
                  forcing: Optional[Forcing2D] = None,
-                 bry=None) -> Fast2DState:
+                 bry=None, sources=None) -> Fast2DState:
     """One model step in 2D-only (main2d) mode: a single predictor/corrector
     pair; LF/AM3 history carries across steps.  `first` selects the FE
     predictor used at the very first step of a run (iic == ntfirst)."""
@@ -486,6 +491,19 @@ def step_2d_only(cfg: Config, grid: Grid, fs: Fast2DState, first: bool,
                               z_know, dt2d_, bry)
             v_new = bc.fill_halo(cfg, v_new)
         return v_new
+
+    def srcs(u_new, v_new, z_new):
+        if cfg.volcons:
+            u_new, v_new = obc.obc_volcons(cfg, grid, u_new, v_new,
+                                           z_new, set(cfg.volcons))
+            u_new = bc.fill_halo(cfg, u_new)
+            v_new = bc.fill_halo(cfg, v_new)
+        if sources is None:
+            return u_new, v_new
+        from .sources import apply_ubar_sources
+        u_new, v_new = apply_ubar_sources(sources, u_new, v_new, z_new,
+                                          grid.h, grid.on_u, grid.om_v)
+        return bc.fill_halo(cfg, u_new), bc.fill_halo(cfg, v_new)
 
     # --- predictor ---
     Drhs, DUon, DVom = depth_fluxes(grid, fs.zeta_n, fs.ubar_n, fs.vbar_n)
@@ -544,6 +562,7 @@ def step_2d_only(cfg: Config, grid: Grid, fs: Fast2DState, first: bool,
         cm1 * rhs_vbar + cm2 * fs.rvbar_n - cm3 * fs.rvbar_nm1)
     ubar_new = ubc(ubar_new, fs.ubar_n, fs.zeta_n, dtfast)
     vbar_new = vbc(vbar_new, fs.vbar_n, fs.zeta_n, dtfast)
+    ubar_new, vbar_new = srcs(ubar_new, vbar_new, zeta_new)
     return fs.replace(
         zeta_nm1=fs.zeta_n, zeta_n=zeta_new,
         ubar_nm1=fs.ubar_n, ubar_n=ubar_new,

@@ -14,7 +14,8 @@ from . import bc
 from .stencil import im1, jm1, ip1, jp1
 
 
-def set_vbc(cfg: Config, grid: Grid, u, v, t, stflux, btflux):
+def set_vbc(cfg: Config, grid: Grid, u, v, t, stflux, btflux,
+            z_r=None, z_w=None):
     """Returns (bustr, bvstr, stflx, btflx).
 
     u/v: 3-D velocity at nrhs; t: tracers (NT,N,Ny,Nx) at nrhs;
@@ -45,6 +46,19 @@ def set_vbc(cfg: Config, grid: Grid, u, v, t, stflux, btflux):
         u_at_v = 0.25 * (ub + ip1(ub) + jm1(ub) + jm1(ip1(ub)))
         bustr = cfg.rdrg2 * jnp.sqrt(ub * ub + v_at_u * v_at_u) * ub
         bvstr = cfg.rdrg2 * jnp.sqrt(u_at_v * u_at_v + vb * vb) * vb
+    elif cfg.bottom_drag == "logarithmic" and z_r is not None:
+        # set_vbc.F UV_LOGDRAG: Cd from the log layer at half the bottom
+        # cell height, clipped to [Cdb_min, Cdb_max]
+        vonKar, Cdb_min, Cdb_max = 0.41, 1.0e-6, 0.5
+        cff1 = 1.0 / jnp.log((z_r[0] - z_w[0]) / cfg.zob)
+        wrk = jnp.clip(vonKar * vonKar * cff1 * cff1, Cdb_min, Cdb_max)
+        ub, vb = u[0], v[0]
+        v_at_u = 0.25 * (vb + jp1(vb) + im1(vb) + im1(jp1(vb)))
+        u_at_v = 0.25 * (ub + ip1(ub) + jm1(ub) + jm1(ip1(ub)))
+        bustr = 0.5 * (wrk + im1(wrk)) * ub * \
+            jnp.sqrt(ub * ub + v_at_u * v_at_u)
+        bvstr = 0.5 * (wrk + jm1(wrk)) * vb * \
+            jnp.sqrt(u_at_v * u_at_v + vb * vb)
     else:
         bustr = jnp.zeros_like(u[0])
         bvstr = jnp.zeros_like(v[0])

@@ -80,7 +80,8 @@ def step(cfg: Config, grid: Grid, state: State,
 
     # --- surface/bottom fluxes (main3d.F:386-396) ---
     bustr, bvstr, stflx, btflx = set_vbc(cfg, grid, state.u, state.v,
-                                         state.t, stflux, btflux)
+                                         state.t, stflux, btflux,
+                                         z_r=z_r, z_w=z_w)
     srflx = frc.get("srflx", None)
 
     # --- vertical mixing coefficients (main3d.F:465-469) ---

@@ -35,8 +35,7 @@ def test_ppermute_halo_matches_periodic_wrap():
         return halo.exchange_2d(cfg, lp)
 
     f = shard_map(local_pad_and_exchange, mesh=mesh,
-                  in_specs=P("eta", "xi"), out_specs=P("eta", "xi"),
-                  check_rep=False)
+                  in_specs=P("eta", "xi"), out_specs=P("eta", "xi"))
     blocks = jax.jit(f)(interior)
     # blocks is the concatenation of padded shards: check each shard's
     # halos against the reference padded array

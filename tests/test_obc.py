@@ -79,3 +79,27 @@ def test_open_boundaries_radiate(zkind, ukind):
     assert np.isfinite(e1)
     # most of the initial surface energy must have left the domain
     assert e1 < 0.15 * e0, f"reflection too strong: e1/e0={e1 / e0:.3f}"
+
+
+def test_volume_conservation_enforced():
+    """obc_volcons: with all-open radiation boundaries AND volume
+    conservation, the net boundary flux correction keeps total volume
+    nearly constant."""
+    from roms_tpu.config import BC_CHAPMAN_IMPLICIT, BC_FLATHER
+    zl = LBC(*(4 * [BC_CHAPMAN_IMPLICIT]))
+    ul = LBC(BC_FLATHER, BC_GRADIENT, BC_FLATHER, BC_GRADIENT)
+    vl = LBC(BC_GRADIENT, BC_FLATHER, BC_GRADIENT, BC_FLATHER)
+    cfg, grid, fs = make_case(zl, ul, vl)
+    cfg = cfg.replace(volcons=("west", "south", "east", "north"))
+    H = cfg.halo
+    area = np.asarray(grid.omn[H:H + cfg.Mm, H:H + cfg.Lm])
+    vol0 = float((np.asarray(fs.zeta_n[H:H + cfg.Mm, H:H + cfg.Lm]) *
+                  area).sum())
+    fs = run(cfg, grid, fs, 60)
+    z = np.asarray(fs.zeta_n[H:H + cfg.Mm, H:H + cfg.Lm])
+    assert np.isfinite(z).all()
+    # net boundary flux is zeroed every substep: total volume conserved
+    # (the wave sloshes but cannot drain); tolerance covers the O(dt)
+    # predictor/corrector D mismatch in the correction
+    vol1 = float((z * area).sum())
+    assert abs(vol1 - vol0) < 0.05 * abs(vol0), (vol0, vol1)
