@@ -145,6 +145,12 @@ class Config:
     # open-boundary volume conservation sides (obc_volcons.F), e.g.
     # ("west", "east"); empty = off
     volcons: Tuple[str, ...] = ()
+    # biological source/sink model (biology.F plugin slot):
+    # None | "npzd_powell"; ibio maps (NO3, Phyt, Zoop, SDet) to tracer
+    # indices; bio_params is an ops.biology.NPZDParams (hashable).
+    biology: Optional[str] = None
+    ibio: Tuple[int, ...] = (2, 3, 4, 5)
+    bio_params: Optional[object] = None
 
     bulk_fluxes: bool = False   # BULK_FLUXES: COARE air-sea fluxes
 

@@ -46,6 +46,16 @@ class HistoryWriter:
                  fields=("zeta", "ubar", "vbar", "u", "v", "temp", "salt")):
         self.path = path
         self.cfg = cfg
+        # extra tracers (biology etc.): append their registered names
+        # to the default field list (mod_ncparam idTvar analog)
+        self._tracer_idx = {}
+        from .varinfo import tracer_names
+        tnames = tracer_names(cfg)
+        if fields == HistoryWriter.__init__.__defaults__[1] and \
+                cfg.ntracers > 2:
+            fields = tuple(fields) + tuple(
+                tnames[i] for i in range(2, cfg.ntracers))
+        self._tracer_idx = {v: k for k, v in tnames.items()}
         self.fields = fields
         self.checksums = []
         self._nrec = 0
@@ -97,10 +107,8 @@ class HistoryWriter:
         self._tvar[n] = t
         rec_sums: Dict[str, int] = {}
         for name in self.fields:
-            if name == "temp":
-                a = np.asarray(state.t[0])
-            elif name == "salt":
-                a = np.asarray(state.t[1])
+            if name in self._tracer_idx:
+                a = np.asarray(state.t[self._tracer_idx[name]])
             elif name == "AKv":
                 a = np.asarray(state.Akv)
             else:

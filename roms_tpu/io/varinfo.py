@@ -49,4 +49,34 @@ REGISTRY = {
                     "nondimensional", "sr", time=False),
     "Cs_w": VarInfo("Cs_w", "S-coordinate stretching curves at W-points",
                     "nondimensional", "sw", time=False),
+    # biological tracers (varinfo.yaml NPZD entries)
+    "NO3": VarInfo("NO3", "nitrate concentration", "millimole_NO3 meter-3",
+                   "r3"),
+    "phytoplankton": VarInfo("phytoplankton", "phytoplankton concentration",
+                             "millimole_N meter-3", "r3"),
+    "zooplankton": VarInfo("zooplankton", "zooplankton concentration",
+                           "millimole_N meter-3", "r3"),
+    "detritus": VarInfo("detritus", "detritus concentration",
+                        "millimole_N meter-3", "r3"),
 }
+
+_NPZD_NAMES = ("NO3", "phytoplankton", "zooplankton", "detritus")
+
+
+def tracer_names(cfg):
+    """Output names for every tracer index (mod_ncparam idTvar analog):
+    temp, salt, then biology names (cfg.ibio order) or generic
+    tracerN, with VarInfo entries registered on the fly."""
+    names = {}
+    if cfg.ntracers >= 1:
+        names[0] = "temp"
+    if cfg.ntracers >= 2:
+        names[1] = "salt"
+    bio = dict(zip(cfg.ibio, _NPZD_NAMES)) if cfg.biology else {}
+    for i in range(2, cfg.ntracers):
+        nm = bio.get(i, f"tracer{i}")
+        if nm not in REGISTRY:
+            REGISTRY[nm] = VarInfo(nm, f"passive tracer {i}",
+                                   "nondimensional", "r3")
+        names[i] = nm
+    return names

@@ -200,6 +200,11 @@ def step(cfg: Config, grid: Grid, state: State,
                   Hz2, z_r2, Akt, t_old=state.t, bry=bry, clm=clm,
                   sources=sources)
 
+    # --- biological source/sink terms (main3d.F biology call) ---
+    if cfg.biology is not None:
+        from .ops.biology import apply_biology
+        t2 = apply_biology(cfg, grid, state.t, t2, Hz2, z_w2, srflx)
+
     return state.replace(
         time=state.time + cfg.dt, iic=state.iic + 1,
         zeta=fs.Zt_avg1, ubar=ubar2, vbar=vbar2,

@@ -34,6 +34,7 @@ CASES = {
     "seamount": ("roms_tpu.models.cases", "seamount", None),
     "canyon3d": ("roms_tpu.models.cases", "canyon3d", None),
     "kelvin": ("roms_tpu.models.cases", "kelvin", None),
+    "bio_toy": ("roms_tpu.models.bio_toy", "build", "make_config"),
 }
 
 
