@@ -138,6 +138,7 @@ class Config:
     splines_vdiff: bool = True  # SPLINES_VDIFF
     splines_vvisc: bool = True  # SPLINES_VVISC
     wetdry: bool = False
+    dcrit: float = 0.10         # WET_DRY critical depth (m)
     uv_smagorinsky: bool = False   # UV_SMAGORINSKY (hmixing.F)
     ts_smagorinsky: bool = False   # TS_SMAGORINSKY
     smagor_coef: float = 0.1

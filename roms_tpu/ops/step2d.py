@@ -27,7 +27,7 @@ from flax import struct
 from .. import constants as C
 from ..config import Config
 from ..grid import Grid
-from . import bc, obc
+from . import bc, obc, wetdry
 from .stencil import ip1, im1, jp1, jm1, at_u, at_v, at_p
 
 
@@ -92,7 +92,7 @@ def _g(cfg: Config) -> float:
 
 def _rhs_momentum(cfg: Config, grid: Grid, zeta_rhs, ubar, vbar,
                   Drhs, DUon, DVom, gzeta, gzeta2,
-                  forcing: Optional[Forcing2D]):
+                  forcing: Optional[Forcing2D], pmask_wet=None):
     """RHS of the 2D momentum equations at the krhs time level
     (step2d_LF_AM3.h:929-1790 under SOLVE3D+UV_ADV+UV_COR+UV_VIS2)."""
     H = cfg.halo
@@ -182,6 +182,8 @@ def _rhs_momentum(cfg: Config, grid: Grid, zeta_rhs, ubar, vbar,
             (sum_pn / sum_pm) *
             ((im1(pm) + pm) * ubar - (im1(jm1(pm)) + jm1(pm)) * jm1(ubar)))
         cff_p = cff_p * grid.pmask
+        if pmask_wet is not None:              # step2d_LF_AM3.h:1436-1439
+            cff_p = cff_p * pmask_wet
         om_p = 4.0 / sum_pm
         on_p = 4.0 / sum_pn
         UFev = om_p * om_p * cff_p
@@ -249,8 +251,11 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
     is the slow step counter (0-based from cold start) selecting the AB3
     startup weights.
 
-    Returns (fs_out, rufrc_converted, rvfrc_converted); the converted values
-    are this step's ru(:,:,0,nstp) history entries.
+    Returns (fs_out, rufrc_converted, rvfrc_converted, wet); the converted
+    values are this step's ru(:,:,0,nstp) history entries.  wet is None
+    unless cfg.wetdry, in which case it is a dict with the fast-time-
+    averaged rmask_wet/umask_wet/vmask_wet for the slow 3-D kernels
+    (wetdry.F wetdry_avg_mask_tile).
     """
     dtype = fs.zeta_n.dtype
     dtfast = jnp.asarray(cfg.dtfast, dtype=dtype)
@@ -265,6 +270,14 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
     adv_z = bc.has_advanced(cfg.lbc_zeta)
     adv_u = bc.has_advanced(cfg.lbc_ubar)
     adv_v = bc.has_advanced(cfg.lbc_vbar)
+    use_wd = cfg.wetdry
+
+    def wmasks(z_kstp):
+        """New wet/dry masks from zeta at the kstp level
+        (step2d_LF_AM3.h:729 -> wetdry_tile)."""
+        wd = wetdry.rho_wet(cfg, grid, z_kstp)
+        um, vm = wetdry.face_masks(wd)
+        return wd, um, vm, wetdry.psi_wet(wd)
 
     def zbc(z_new, z_know, dt2d_):
         z_new = bc.apply_bc_rho(cfg, cfg.lbc_zeta, z_new, mask=grid.rmask)
@@ -272,6 +285,8 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
             z_new = obc.zetabc(cfg, grid, cfg.lbc_zeta, z_know, z_new,
                                dt2d_, bry)
             z_new = bc.fill_halo(cfg, z_new)
+        if use_wd:
+            z_new = wetdry.clamp_zeta(cfg, grid, z_new)
         return z_new
 
     def ubc(u_new, u_know, z_know, dt2d_):
@@ -311,6 +326,11 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
         ru0_nm1 = ru0_nm2 = rv0_nm1 = rv0_nm2 = zero
 
     # ================= fast step 1 (peeled: FE predictor) =================
+    if use_wd:                 # FIRST_2D_STEP predictor: kstp = n
+        wd_p, um_w, vm_w, pw_w = wmasks(fs.zeta_n)
+        wet_avg = wd_p         # rmask_wet_avg := wetdry (wetdry.F:222-228)
+    else:
+        um_w = vm_w = pw_w = wet_avg = None
     Drhs, DUon, DVom = depth_fluxes(grid, fs.zeta_n, fs.ubar_n, fs.vbar_n)
     # averaging reset (:611-634); weight(2,iif+1) with iif=1 -> w2[1]
     cff2 = (-1.0 / 12.0) * w2[1]
@@ -325,7 +345,7 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
 
     rhs_ubar, rhs_vbar = _rhs_momentum(
         cfg, grid, fs.zeta_n, fs.ubar_n, fs.vbar_n,
-        Drhs, DUon, DVom, zwrk, zwrk * zwrk, forcing)
+        Drhs, DUon, DVom, zwrk, zwrk * zwrk, forcing, pmask_wet=pw_w)
 
     # --- 2D-3D coupling on the first predictor (:1868-1990) ---
     iic = jnp.asarray(iic)
@@ -343,15 +363,37 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
     ubar_p, vbar_p = _step_momentum(
         cfg, grid, fs.ubar_n, fs.vbar_n, fs.zeta_n + h, Dnew,
         0.5 * dtfast * rhs_ubar, 0.5 * dtfast * rhs_vbar)
+    if use_wd:
+        # directional limiter on the new velocity, the stored rhs, and
+        # (first predictor only) the coupling forcing
+        # (step2d_LF_AM3.h:2123-2146)
+        c7u = wetdry.limit(um_w, ubar_p)
+        c7v = wetdry.limit(vm_w, vbar_p)
+        ubar_p = ubar_p * c7u
+        vbar_p = vbar_p * c7v
+        rhs_ubar = rhs_ubar * c7u
+        rhs_vbar = rhs_vbar * c7v
+        rufrc_c = rufrc_c * c7u
+        rvfrc_c = rvfrc_c * c7v
     ubar_p = ubc(ubar_p, fs.ubar_n, fs.zeta_n, dtfast)
     vbar_p = vbc(vbar_p, fs.vbar_n, fs.zeta_n, dtfast)
+    if use_wd:
+        # boundary points get the limiter inside u2dbc/v2dbc in the
+        # reference (u2dbc_im.F:1187-1234); idempotent on the interior
+        ubar_p = ubar_p * wetdry.limit(um_w, ubar_p)
+        vbar_p = vbar_p * wetdry.limit(vm_w, vbar_p)
     ubar_p, vbar_p = srcs(ubar_p, vbar_p, zeta_p)
     fs = fs.replace(
         rzeta_nm1=fs.rzeta_n, rzeta_n=bc.fill_halo(cfg, rhs_zeta),
         rubar_nm1=fs.rubar_n, rubar_n=rhs_ubar,
         rvbar_nm1=fs.rvbar_n, rvbar_n=rhs_vbar)
 
-    def corrector(i, fs, zeta_p, ubar_p, vbar_p, first: bool):
+    def corrector(i, fs, zeta_p, ubar_p, vbar_p, first: bool, wet_avg):
+        if use_wd:             # corrector: kstp = n -> masks from zeta_n
+            wd_c, um_c, vm_c, pw_c = wmasks(fs.zeta_n)
+            wet_avg = wet_avg + wd_c
+        else:
+            um_c = vm_c = pw_c = None
         Drhs, DUon, DVom = depth_fluxes(grid, zeta_p, ubar_p, vbar_p)
         # averaging, corrector branch (:688-713): weight(2,iif) -> w2[i-1]
         cff2 = w2[i - 1] if first else (5.0 / 12.0) * w2[i - 1]
@@ -371,7 +413,7 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
 
         rhs_ubar, rhs_vbar = _rhs_momentum(
             cfg, grid, zeta_p, ubar_p, vbar_p,
-            Drhs, DUon, DVom, zwrk, zwrk * zwrk, forcing)
+            Drhs, DUon, DVom, zwrk, zwrk * zwrk, forcing, pmask_wet=pw_c)
         if cfg.solve3d:
             rhs_ubar = rhs_ubar + rufrc_c
             rhs_vbar = rhs_vbar + rvfrc_c
@@ -383,18 +425,30 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
             cfg, grid, fs.ubar_n, fs.vbar_n, fs.zeta_n + h, Dnew,
             cm1 * rhs_ubar + cm2 * fs.rubar_n - cm3 * fs.rubar_nm1,
             cm1 * rhs_vbar + cm2 * fs.rvbar_n - cm3 * fs.rvbar_nm1)
+        if use_wd:
+            ubar_new = ubar_new * wetdry.limit(um_c, ubar_new)
+            vbar_new = vbar_new * wetdry.limit(vm_c, vbar_new)
         ubar_new = ubc(ubar_new, fs.ubar_n, fs.zeta_n, dtfast)
         vbar_new = vbc(vbar_new, fs.vbar_n, fs.zeta_n, dtfast)
+        if use_wd:
+            ubar_new = ubar_new * wetdry.limit(um_c, ubar_new)
+            vbar_new = vbar_new * wetdry.limit(vm_c, vbar_new)
         ubar_new, vbar_new = srcs(ubar_new, vbar_new, zeta_new)
         return fs.replace(
             zeta_nm1=fs.zeta_n, zeta_n=zeta_new,
             ubar_nm1=fs.ubar_n, ubar_n=ubar_new,
-            vbar_nm1=fs.vbar_n, vbar_n=vbar_new)
+            vbar_nm1=fs.vbar_n, vbar_n=vbar_new), wet_avg
 
-    fs = corrector(1, fs, zeta_p, ubar_p, vbar_p, True)
+    fs, wet_avg = corrector(1, fs, zeta_p, ubar_p, vbar_p, True, wet_avg)
 
     # ============== fast steps 2..nfast (LF / AM3), fori_loop ==============
-    def fused_body(i, fs):
+    def fused_body(i, carry):
+        fs, wet_avg = carry
+        if use_wd:             # LF predictor: kstp = n-1
+            wd_p2, um_p, vm_p, pw_p = wmasks(fs.zeta_nm1)
+            wet_avg = wet_avg + wd_p2
+        else:
+            um_p = vm_p = pw_p = None
         Drhs, DUon, DVom = depth_fluxes(grid, fs.zeta_n, fs.ubar_n,
                                         fs.vbar_n)
         cff1 = w1[i - 2]                                  # weight(1,iif-1)
@@ -417,7 +471,7 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
 
         rhs_ubar, rhs_vbar = _rhs_momentum(
             cfg, grid, fs.zeta_n, fs.ubar_n, fs.vbar_n,
-            Drhs, DUon, DVom, zwrk, zwrk * zwrk, forcing)
+            Drhs, DUon, DVom, zwrk, zwrk * zwrk, forcing, pmask_wet=pw_p)
         if cfg.solve3d:
             rhs_ubar = rhs_ubar + rufrc_c
             rhs_vbar = rhs_vbar + rvfrc_c
@@ -425,17 +479,28 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
         ubar_p, vbar_p = _step_momentum(
             cfg, grid, fs.ubar_nm1, fs.vbar_nm1, fs.zeta_nm1 + h, Dnew,
             dtfast * rhs_ubar, dtfast * rhs_vbar)
+        if use_wd:
+            c7u = wetdry.limit(um_p, ubar_p)
+            c7v = wetdry.limit(vm_p, vbar_p)
+            ubar_p = ubar_p * c7u
+            vbar_p = vbar_p * c7v
+            rhs_ubar = rhs_ubar * c7u
+            rhs_vbar = rhs_vbar * c7v
         ubar_p = ubc(ubar_p, fs.ubar_n, fs.zeta_n, 2.0 * dtfast)
         vbar_p = vbc(vbar_p, fs.vbar_n, fs.zeta_n, 2.0 * dtfast)
+        if use_wd:
+            ubar_p = ubar_p * wetdry.limit(um_p, ubar_p)
+            vbar_p = vbar_p * wetdry.limit(vm_p, vbar_p)
         ubar_p, vbar_p = srcs(ubar_p, vbar_p, zeta_p)
         fs = fs.replace(
             rzeta_nm1=fs.rzeta_n, rzeta_n=bc.fill_halo(cfg, rhs_zeta),
             rubar_nm1=fs.rubar_n, rubar_n=rhs_ubar,
             rvbar_nm1=fs.rvbar_n, rvbar_n=rhs_vbar)
-        return corrector(i, fs, zeta_p, ubar_p, vbar_p, False)
+        return corrector(i, fs, zeta_p, ubar_p, vbar_p, False, wet_avg)
 
     if nfast >= 2:
-        fs = jax.lax.fori_loop(2, nfast + 1, fused_body, fs)
+        fs, wet_avg = jax.lax.fori_loop(2, nfast + 1, fused_body,
+                                        (fs, wet_avg))
 
     # ========== auxiliary predictor (iif = nfast+1): averages only ==========
     _, DUon, DVom = depth_fluxes(grid, fs.zeta_n, fs.ubar_n, fs.vbar_n)
@@ -448,7 +513,19 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
         DV_avg1=bc.fill_halo(cfg, fs.DV_avg1 + cff1 * DVom),
         DU_avg2=bc.fill_halo(cfg, fs.DU_avg2 + cff2 * DUon),
         DV_avg2=bc.fill_halo(cfg, fs.DV_avg2 + cff2 * DVom))
-    return fs, rufrc_c, rvfrc_c
+
+    # --- time-averaged wet masks for the 3-D kernels (aux wetdry_tile
+    #     call, wetdry.F:253-271): wet only if wet at ALL 2*nfast
+    #     substeps, direction from the sign of the averaged transport ---
+    wet = None
+    if use_wd:
+        wd_avg = jnp.floor(wet_avg / (2.0 * nfast))
+        um_avg, vm_avg = wetdry.avg_face_masks(wd_avg, fs.DU_avg1,
+                                               fs.DV_avg1)
+        wet = {"rmask_wet": bc.fill_halo(cfg, wd_avg),
+               "umask_wet": bc.fill_halo(cfg, um_avg),
+               "vmask_wet": bc.fill_halo(cfg, vm_avg)}
+    return fs, rufrc_c, rvfrc_c, wet
 
 
 def step_2d_only(cfg: Config, grid: Grid, fs: Fast2DState, first: bool,
@@ -465,6 +542,12 @@ def step_2d_only(cfg: Config, grid: Grid, fs: Fast2DState, first: bool,
     adv_z = bc.has_advanced(cfg.lbc_zeta)
     adv_u = bc.has_advanced(cfg.lbc_ubar)
     adv_v = bc.has_advanced(cfg.lbc_vbar)
+    use_wd = cfg.wetdry
+
+    def wmasks(z_kstp):
+        wd = wetdry.rho_wet(cfg, grid, z_kstp)
+        um, vm = wetdry.face_masks(wd)
+        return wd, um, vm, wetdry.psi_wet(wd)
 
     def zbc(z_new, z_know, dt2d_):
         z_new = bc.apply_bc_rho(cfg, cfg.lbc_zeta, z_new, mask=grid.rmask)
@@ -472,6 +555,8 @@ def step_2d_only(cfg: Config, grid: Grid, fs: Fast2DState, first: bool,
             z_new = obc.zetabc(cfg, grid, cfg.lbc_zeta, z_know, z_new,
                                dt2d_, bry)
             z_new = bc.fill_halo(cfg, z_new)
+        if use_wd:
+            z_new = wetdry.clamp_zeta(cfg, grid, z_new)
         return z_new
 
     def ubc(u_new, u_know, z_know, dt2d_):
@@ -522,15 +607,30 @@ def step_2d_only(cfg: Config, grid: Grid, fs: Fast2DState, first: bool,
         cff4 = 4.0 / 25.0
         zwrk = (1.0 - 2.0 * cff4) * fs.zeta_n + cff4 * (z_kstp + zeta_new)
     zeta_p = bc.apply_bc_rho(cfg, cfg.lbc_zeta, zeta_new, mask=grid.rmask)
+    if use_wd:
+        wd_p, um_p, vm_p, pw_p = wmasks(z_kstp)
+        zeta_p = wetdry.clamp_zeta(cfg, grid, zeta_p)
+    else:
+        um_p = vm_p = pw_p = None
 
     rhs_ubar, rhs_vbar = _rhs_momentum(
         cfg, grid, fs.zeta_n, fs.ubar_n, fs.vbar_n,
-        Drhs, DUon, DVom, zwrk, zwrk * zwrk, forcing)
+        Drhs, DUon, DVom, zwrk, zwrk * zwrk, forcing, pmask_wet=pw_p)
     ubar_p, vbar_p = _step_momentum(
         cfg, grid, u_kstp, v_kstp, z_kstp + h, Dnew,
         cm * rhs_ubar, cm * rhs_vbar)
+    if use_wd:
+        c7u = wetdry.limit(um_p, ubar_p)
+        c7v = wetdry.limit(vm_p, vbar_p)
+        ubar_p = ubar_p * c7u
+        vbar_p = vbar_p * c7v
+        rhs_ubar = rhs_ubar * c7u
+        rhs_vbar = rhs_vbar * c7v
     ubar_p = ubc(ubar_p, fs.ubar_n, fs.zeta_n, dtfast)
     vbar_p = vbc(vbar_p, fs.vbar_n, fs.zeta_n, dtfast)
+    if use_wd:
+        ubar_p = ubar_p * wetdry.limit(um_p, ubar_p)
+        vbar_p = vbar_p * wetdry.limit(vm_p, vbar_p)
     ubar_p, vbar_p = srcs(ubar_p, vbar_p, zeta_p)
     fs = fs.replace(
         rzeta_nm1=fs.rzeta_n, rzeta_n=bc.fill_halo(cfg, rhs_zeta),
@@ -550,9 +650,13 @@ def step_2d_only(cfg: Config, grid: Grid, fs: Fast2DState, first: bool,
     zwrk = (1.0 - cff4) * zeta_new + cff4 * zeta_p
     zeta_new = zbc(zeta_new, fs.zeta_n, dtfast)
 
+    if use_wd:
+        wd_c, um_c, vm_c, pw_c = wmasks(fs.zeta_n)
+    else:
+        um_c = vm_c = pw_c = None
     rhs_ubar, rhs_vbar = _rhs_momentum(
         cfg, grid, zeta_p, ubar_p, vbar_p,
-        Drhs, DUon, DVom, zwrk, zwrk * zwrk, forcing)
+        Drhs, DUon, DVom, zwrk, zwrk * zwrk, forcing, pmask_wet=pw_c)
     cm1 = 0.5 * dtfast * 5.0 / 12.0
     cm2 = 0.5 * dtfast * 8.0 / 12.0
     cm3 = 0.5 * dtfast * 1.0 / 12.0
@@ -560,8 +664,14 @@ def step_2d_only(cfg: Config, grid: Grid, fs: Fast2DState, first: bool,
         cfg, grid, fs.ubar_n, fs.vbar_n, fs.zeta_n + h, Dnew,
         cm1 * rhs_ubar + cm2 * fs.rubar_n - cm3 * fs.rubar_nm1,
         cm1 * rhs_vbar + cm2 * fs.rvbar_n - cm3 * fs.rvbar_nm1)
+    if use_wd:
+        ubar_new = ubar_new * wetdry.limit(um_c, ubar_new)
+        vbar_new = vbar_new * wetdry.limit(vm_c, vbar_new)
     ubar_new = ubc(ubar_new, fs.ubar_n, fs.zeta_n, dtfast)
     vbar_new = vbc(vbar_new, fs.vbar_n, fs.zeta_n, dtfast)
+    if use_wd:
+        ubar_new = ubar_new * wetdry.limit(um_c, ubar_new)
+        vbar_new = vbar_new * wetdry.limit(vm_c, vbar_new)
     ubar_new, vbar_new = srcs(ubar_new, vbar_new, zeta_new)
     return fs.replace(
         zeta_nm1=fs.zeta_n, zeta_n=zeta_new,

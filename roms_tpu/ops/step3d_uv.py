@@ -26,7 +26,7 @@ from .tridiag import spline_vdiff_flux
 def step3d_uv(cfg: Config, grid: Grid, iic, u_nnew, v_nnew, ru, rv,
               Hz_new, Akv, DU_avg1, DV_avg1, DU_avg2, DV_avg2,
               Huon_old, Hvom_old, u_old=None, v_old=None, bry=None,
-              sources=None, z_w_new=None):
+              sources=None, z_w_new=None, wet=None):
     """Returns (u, v, ubar, vbar, Huon, Hvom), all halo-filled."""
     dt = cfg.dt
     pm, pn = grid.pm, grid.pn
@@ -52,6 +52,8 @@ def step3d_uv(cfg: Config, grid: Grid, iic, u_nnew, v_nnew, ru, rv,
     DCm = jnp.sum(u * Hzk_u, axis=0)
     err_u = (DCm * grid.on_u - DU_avg1) / (CF0 * grid.on_u)
     u = (u - err_u) * grid.umask
+    if wet is not None:        # WET_DRY (step3d_uv.F:562)
+        u = u * wet["umask_wet"]
 
     # ---------------- ETA direction ----------------
     Hzk_v = 0.5 * (Hz_new + jm1(Hz_new))
@@ -66,6 +68,8 @@ def step3d_uv(cfg: Config, grid: Grid, iic, u_nnew, v_nnew, ru, rv,
     DCmv = jnp.sum(v * Hzk_v, axis=0)
     err_v = (DCmv * grid.om_v - DV_avg1) / (CF0v * grid.om_v)
     v = (v - err_v) * grid.vmask
+    if wet is not None:
+        v = v * wet["vmask_wet"]
 
     # ---------------- lateral BCs ----------------
     u = bc.apply_bc_u(cfg, cfg.lbc_u, u, gamma2=cfg.gamma2, mask=grid.umask)

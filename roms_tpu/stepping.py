@@ -162,7 +162,7 @@ def step(cfg: Config, grid: Grid, state: State,
         DU_avg2=zero2, DV_avg2=zero2)
     bry = frc.get("bry", None)
     sources = frc.get("sources", None)
-    fs, rufrc_c, rvfrc_c = fast_loop(
+    fs, rufrc_c, rvfrc_c, wet = fast_loop(
         cfg, grid, fs, rufrc=rufrc, rvfrc=rvfrc,
         ru0_nm1=state.rufrc0_prev, ru0_nm2=state.rufrc0_prev2,
         rv0_nm1=state.rvfrc0_prev, rv0_nm2=state.rvfrc0_prev2,
@@ -178,7 +178,11 @@ def step(cfg: Config, grid: Grid, state: State,
         cfg, grid, state.iic, u_nnew, v_nnew, ru, rv, Hz2, Akv,
         fs.DU_avg1, fs.DV_avg1, fs.DU_avg2, fs.DV_avg2, Huon, Hvom,
         u_old=state.u, v_old=state.v, bry=bry, sources=sources,
-        z_w_new=z_w2)
+        z_w_new=z_w2, wet=wet)
+    if wet is not None:
+        # the stored AB3 rhs history is limited too (step3d_uv.F:563)
+        ru = ru * wet["umask_wet"]
+        rv = rv * wet["vmask_wet"]
 
     # --- omega with corrected fluxes (main3d.F:789) ---
     W2 = omega(cfg, grid, Huon2, Hvom2, z_w2)

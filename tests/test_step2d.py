@@ -86,7 +86,7 @@ def test_fast_loop_runs_solve3d_mode():
     z = bc.apply_bc_rho(cfg, cfg.lbc_zeta, z)
     zero = jnp.zeros_like(z)
     fs = step2d.make_fast_state(cfg, z, zero, zero)
-    fs_out, rufrc_c, rvfrc_c = step2d.fast_loop(
+    fs_out, rufrc_c, rvfrc_c, _ = step2d.fast_loop(
         cfg, grid, fs, rufrc=zero, rvfrc=zero,
         ru0_nm1=zero, ru0_nm2=zero, rv0_nm1=zero, rv0_nm2=zero, iic=0)
     assert np.isfinite(np.asarray(fs_out.zeta_n)).all()
