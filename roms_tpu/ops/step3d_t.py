@@ -3,7 +3,10 @@
 Horizontal advection of the intermediate tracer t3 with the per-tracer
 scheme, vertical advection, implicit vertical diffusion (parabolic-spline
 reconstruction under SPLINES_VDIFF, else standard tridiagonal), lateral
-BCs.  MPDATA's corrector is not yet implemented (HSIMT/MPDATA planned).
+BCs.  MPDATA tracers take the two-pass route: first-order upstream of t3
+(step3d_t.F:408-428, 1167-1180), then the anti-diffusive corrected pass
+with monotonically-limited velocities (ops/mpdata.py; step3d_t.F:
+1213-1318).
 """
 
 from __future__ import annotations
@@ -28,8 +31,31 @@ def step3d_t(cfg: Config, grid: Grid, iic, t_nnew, t3, Huon, Hvom, W,
     for itrc in range(cfg.ntracers):
         hscheme = cfg.t_hadv[itrc]
         vscheme = cfg.t_vadv[itrc]
-        if hscheme in ("MPDATA",) or vscheme in ("MPDATA",):
-            raise NotImplementedError("MPDATA corrector not yet implemented")
+        if hscheme == "MPDATA" or vscheme == "MPDATA":
+            if not (hscheme == "MPDATA" and vscheme == "MPDATA"):
+                raise ValueError("MPDATA must be used in both directions")
+            from .mpdata import mpdata_adiff, mpdata_corrected_fluxes
+            # first pass: first-order upstream of t3 in all directions
+            FX, FE = hadv_fluxes(cfg, "U1", t3[itrc], Huon, Hvom)
+            Ta = t_nnew[itrc] - dt * pmn * ((ip1(FX) - FX) +
+                                            (jp1(FE) - FE))
+            FC = vadv_flux("U1", t3[itrc], W, Hz_new, "corrector")
+            Ta = (Ta - dt * pmn * (FC[1:] - FC[:-1])) * oHz
+            Ta = bc.fill_halo(cfg, Ta)
+            wet = None
+            Ua, Va, Wa = mpdata_adiff(cfg, grid, t3[itrc], Ta, Huon,
+                                      Hvom, W, oHz, z_r_new, wet=wet)
+            FX2, FE2, FC2 = mpdata_corrected_fluxes(grid, Ta, Ua, Va, Wa,
+                                                    Hz_new)
+            tn = Ta * Hz_new - dt * pmn * (
+                (ip1(FX2) - FX2) + (jp1(FE2) - FE2) + (FC2[1:] - FC2[:-1]))
+            ltrc = min(1, itrc) if cfg.ntracers >= 2 else 0
+            # vertical diffusion on the Tunits*m field (standard tridiag;
+            # the spline form needs Tunits input)
+            tn = thomas_implicit(dt, 1.0, Hz_new, z_r_new, Akt[ltrc], tn)
+            tn = _finalize_tracer(cfg, grid, itrc, tn, t_old, bry, clm, dt)
+            out.append(tn)
+            continue
 
         FX, FE = hadv_fluxes(cfg, hscheme, t3[itrc], Huon, Hvom,
                              grid=grid, Hz=Hz_new, dt=dt)
@@ -51,16 +77,22 @@ def step3d_t(cfg: Config, grid: Grid, iic, t_nnew, t3, Huon, Hvom, W,
             tn = thomas_implicit(dt, 1.0, Hz_new, z_r_new, Akt[ltrc],
                                  tn * Hz_new)
 
-        # nudging toward tracer climatology (step3d_t.F:1172-1185)
-        if clm is not None and "tclm" in clm:
-            nudg = clm.get("tnudg", 0.0)
-            coef = nudg[itrc] if hasattr(nudg, "__len__") else nudg
-            tn = tn + dt * coef * (clm["tclm"][itrc] - tn)
-        tn = bc.apply_bc_rho(cfg, cfg.lbc_t, tn)
-        if t_old is not None and bc.has_advanced(cfg.lbc_t):
-            tname = "temp" if itrc == 0 else ("salt" if itrc == 1
-                                              else f"trc{itrc}")
-            tn = bc.fill_halo(cfg, obc.t3dbc(
-                cfg, grid, cfg.lbc_t, t_old[itrc], tn, bry, name=tname))
+        tn = _finalize_tracer(cfg, grid, itrc, tn, t_old, bry, clm, dt)
         out.append(tn)
     return jnp.stack(out, axis=0)
+
+
+def _finalize_tracer(cfg, grid, itrc, tn, t_old, bry, clm, dt):
+    """Climatology nudging + lateral BCs shared by all advection paths."""
+    # nudging toward tracer climatology (step3d_t.F:1172-1185)
+    if clm is not None and "tclm" in clm:
+        nudg = clm.get("tnudg", 0.0)
+        coef = nudg[itrc] if hasattr(nudg, "__len__") else nudg
+        tn = tn + dt * coef * (clm["tclm"][itrc] - tn)
+    tn = bc.apply_bc_rho(cfg, cfg.lbc_t, tn)
+    if t_old is not None and bc.has_advanced(cfg.lbc_t):
+        tname = "temp" if itrc == 0 else ("salt" if itrc == 1
+                                          else f"trc{itrc}")
+        tn = bc.fill_halo(cfg, obc.t3dbc(
+            cfg, grid, cfg.lbc_t, t_old[itrc], tn, bry, name=tname))
+    return tn
