@@ -172,6 +172,7 @@ class Config:
     # Vertical closure: None (constant background), "ana", "gls", "kpp",
     # "my25", "bvf".
     vmix: Optional[str] = None
+    kpp_bottom: bool = False    # LMD_BKPP bottom boundary layer
     gls_params: "GLSParams" = GLSParams()
 
     # --- Pressure gradient scheme: "djs" = splines density Jacobian

@@ -160,11 +160,14 @@ def _alpha_beta(cfg: Config, temp_s, salt_s):
 
 def lmd_vmix(cfg: Config, grid: Grid, u, v, t, rho, pden, bvf,
              Hz, z_r, z_w, sustr, svstr, bustr, bvstr,
-             stflx, srflx, hsbl_prev):
+             stflx, srflx, hsbl_prev, btflx=None, hbbl_prev=None):
     """Full K-profile parameterization.
 
-    Returns (Akv, Akt stack (NAT,N+1,Ny,Nx), hsbl, ghats stack).
+    Returns (Akv, Akt stack (NAT,N+1,Ny,Nx), hsbl, hbbl, ghats stack).
     srflx: surface shortwave (degC m/s); stflx: (NT,Ny,Nx) surface fluxes.
+    With cfg.kpp_bottom (LMD_BKPP) the bottom boundary layer is computed
+    from the bottom stress and btflx and blended into Akv/Akt
+    (lmd_bkpp.F; max where it overlaps the surface layer).
     """
     N = cfg.N
     g = C.g
@@ -353,8 +356,151 @@ def lmd_vmix(cfg: Config, grid: Grid, u, v, t, rho, pden, bvf,
     ghat_T = ghat_T.at[0].set(0.0).at[-1].set(0.0)
     ghat_S = ghat_S.at[0].set(0.0).at[-1].set(0.0)
 
+    # ============ bottom boundary layer (lmd_bkpp.F) ============
+    hbbl = hbbl_prev if hbbl_prev is not None else z_w[0]
+    if cfg.kpp_bottom:
+        Akv, Akt_t, Akt_s, hbbl = _lmd_bkpp(
+            cfg, grid, Akv, Akt_t, Akt_s, pden, bvf, Hz, z_w,
+            u_r, v_r, dR, dU, dV, Ustarb, alpha, beta,
+            btflx if btflx is not None else jnp.zeros_like(stflx),
+            srflx, hbbl, ks_eff, kk)
+
     fh = lambda a: bc.fill_halo(cfg, a)
     nat = min(cfg.ntracers, 2)
     Akt = jnp.stack([fh(Akt_t), fh(Akt_s)][:nat], axis=0)
     ghats = jnp.stack([fh(ghat_T), fh(ghat_S)][:nat], axis=0)
-    return fh(Akv), Akt, hsbl, ghats
+    return fh(Akv), Akt, hsbl, hbbl, ghats
+
+
+def _lmd_bkpp(cfg: Config, grid: Grid, Akv, Akt_t, Akt_s, pden, bvf,
+              Hz, z_w, u_r, v_r, dR, dU, dV, Ustar, alpha, beta,
+              btflx, srflx, hbbl_prev, ksbl, kidx):
+    """KPP bottom boundary layer (lmd_bkpp.F:240-806): bulk Richardson
+    number measured upward from the bottom, hbbl where Rib/Ric crosses 1,
+    cubic shape-function mixing below hbbl, max-blend where it overlaps
+    the surface layer."""
+    N = cfg.N
+    g = C.g
+    gorho0 = g / cfg.rho0
+    zbot = z_w[0]
+    zsurf = z_w[-1]
+    third, sixth = 1.0 / 3.0, 1.0 / 6.0
+
+    bl_dpth = lmd_epsilon * (hbbl_prev - zbot)
+    # bottom buoyancy forcing (lmd_bkpp.F:268-279); radiative part can
+    # reach the bottom in shallow water
+    btflx_T = btflx[0]
+    btflx_S = btflx[1] if cfg.ntracers >= 2 else jnp.zeros_like(btflx[0])
+    Bo = g * (alpha * btflx_T - beta * btflx_S)
+    srf = srflx if srflx is not None else jnp.zeros_like(Bo)
+    Bosol = g * alpha * srf
+    swdk = swfrac(zsurf[None] - z_w)
+    Bflux = Bo[None] + Bosol[None] * (1.0 - swdk)        # (N+1,...)
+
+    # bottom reference values (lmd_bkpp.F:404-412)
+    Rref = pden[0] - Hz[0] * (third * dR[0] + sixth * dR[1])
+    Uref = u_r[0] - Hz[0] * (third * dU[0] + sixth * dU[1])
+    Vref = v_r[0] - Hz[0] * (third * dV[0] + sixth * dV[1])
+
+    Vtc = lmd_Cv * jnp.sqrt(-lmd_betaT) / (
+        jnp.sqrt(lmd_cs * lmd_epsilon) * lmd_Ric * vonKar * vonKar)
+
+    # critical function FC at interfaces k=1..N (lmd_bkpp.F:414-463)
+    depth = z_w[1:] - zbot[None]                        # (N,...)
+    sigma = jnp.where(Bflux[1:] < 0.0,
+                      jnp.minimum(bl_dpth[None], depth), depth)
+    wm_b, ws_b = _wscale(Ustar[None], vonKar * sigma * Bflux[1:])
+    Rk = pden + Hz * (third * dR[1:] + sixth * dR[:-1])
+    Uk = u_r + Hz * (third * dU[1:] + sixth * dU[:-1])
+    Vk = v_r + Hz * (third * dV[1:] + sixth * dV[:-1])
+    Ritop = -gorho0 * (Rk - Rref[None]) * depth
+    Ribot = (Uk - Uref[None]) ** 2 + (Vk - Vref[None]) ** 2 + \
+        Vtc * depth * ws_b * jnp.sqrt(jnp.abs(bvf[1:]))
+    FC = Ritop / (Ribot + eps)
+    FC = jnp.concatenate([jnp.zeros_like(FC[:1]), FC], axis=0)  # k=0..N
+
+    # first k in 1..N with FC(k-1) < Ric <= FC(k) (lmd_bkpp.F:484-494)
+    cross = (FC[:-1] < lmd_Ric) & (FC[1:] >= lmd_Ric)   # k=1..N
+    karr = jnp.arange(1, N + 1)[:, None, None]
+    kb = jnp.min(jnp.where(cross, karr, N), axis=0)
+    FC_k = jnp.take_along_axis(FC, kb[None], axis=0)[0]
+    FC_km1 = jnp.take_along_axis(FC, (kb - 1)[None], axis=0)[0]
+    zw_k = jnp.take_along_axis(z_w, kb[None], axis=0)[0]
+    zw_km1 = jnp.take_along_axis(z_w, (kb - 1)[None], axis=0)[0]
+    den = FC_k - FC_km1
+    den = jnp.where(jnp.abs(den) > 1e-30, den, 1e-30)
+    any_cross = jnp.any(cross, axis=0)
+    hbbl = jnp.where(any_cross,
+                     ((lmd_Ric - FC_km1) * zw_k +
+                      (FC_k - lmd_Ric) * zw_km1) / den,
+                     zsurf)
+
+    # Ekman limit (lmd_bkpp.F:526-535; height above bottom as z level)
+    hekman = lmd_cekman * Ustar / jnp.maximum(jnp.abs(grid.f), eps) - \
+        grid.h
+    hbbl = jnp.minimum(hekman, hbbl)
+    hbbl = jnp.clip(hbbl, zbot, zsurf)
+    hbbl = bc.fill_halo(cfg, hbbl)
+
+    # final kbbl: first k in 1..N with z_w(k) > hbbl (lmd_bkpp.F:589-600)
+    above = z_w[1:] > hbbl[None]
+    kbbl = jnp.min(jnp.where(above, karr, N), axis=0)
+
+    # buoyancy flux and velocity scales at hbbl (lmd_bkpp.F:603-663)
+    swdk_h = swfrac(zsurf - hbbl)
+    Bfbot = Bo + Bosol * (1.0 - swdk_h)
+    bl_dpth = lmd_epsilon * (hbbl - zbot)
+    sigma_h = jnp.where(Bfbot > 0.0, 1.0, lmd_epsilon) * (hbbl - zbot)
+    wm1, ws1 = _wscale(Ustar, vonKar * sigma_h * Bfbot)
+
+    # shape-function matching at hbbl (lmd_bkpp.F:665-721); note the
+    # sign of dK_bl is opposite the surface case (increasing k moves
+    # away from the bottom boundary)
+    f1 = 5.0 * jnp.maximum(0.0, Bfbot) * vonKar / (Ustar ** 4 + eps)
+    zbl = hbbl - zbot
+
+    def match(Ak):
+        Ak_k = jnp.take_along_axis(Ak, kbbl[None], axis=0)[0]
+        Ak_km1 = jnp.take_along_axis(Ak, (kbbl - 1)[None], axis=0)[0]
+        zw_k = jnp.take_along_axis(z_w, kbbl[None], axis=0)[0]
+        zw_km1 = jnp.take_along_axis(z_w, (kbbl - 1)[None], axis=0)[0]
+        cffk = 1.0 / (zw_k - zw_km1)
+        cff_dn = cffk * (hbbl - zw_km1)
+        cff_up = cffk * (zw_k - hbbl)
+        K_bl = cff_dn * Ak_k + cff_up * Ak_km1
+        dK_bl = -cffk * (Ak_k - Ak_km1)
+        return K_bl, dK_bl
+
+    def g1(Ak, wscale):
+        K_bl, dK_bl = match(Ak)
+        G1 = K_bl / (zbl * wscale + eps)
+        dG1 = jnp.minimum(0.0, K_bl * f1 - dK_bl / (wscale + eps))
+        return G1, dG1
+
+    Gm1, dGm1 = g1(Akv, wm1)
+    Gt1, dGt1 = g1(Akt_t, ws1)
+    Gs1, dGs1 = g1(Akt_s, ws1)
+
+    # profile at interior interfaces k=1..N-1 (lmd_bkpp.F:723-806)
+    depth_k = z_w[1:N] - zbot[None]
+    in_bbl = z_w[1:N] < hbbl[None]
+    sigma_k = jnp.where(Bflux[1:N] < 0.0,
+                        jnp.minimum(bl_dpth[None], depth_k), depth_k)
+    wm_k, ws_k = _wscale(Ustar[None], vonKar * sigma_k * Bflux[1:N])
+    sig = depth_k / (zbl[None] + eps)
+    a1 = sig - 2.0
+    a2 = 3.0 - 2.0 * sig
+    a3 = sig - 1.0
+
+    overlap = kidx > ksbl[None]        # surface layer owns these points
+
+    def blend(Ak, G1v, dG1v, wsc):
+        G = a1 + a2 * G1v[None] + a3 * dG1v[None]
+        K_new = depth_k * wsc * (1.0 + sig * G)
+        K_new = jnp.where(overlap, jnp.maximum(Ak[1:N], K_new), K_new)
+        return Ak.at[1:N].set(jnp.where(in_bbl, K_new, Ak[1:N]))
+
+    Akv = blend(Akv, Gm1, dGm1, wm_k)
+    Akt_t = blend(Akt_t, Gt1, dGt1, ws_k)
+    Akt_s = blend(Akt_s, Gs1, dGs1, ws_k)
+    return Akv, Akt_t, Akt_s, hbbl

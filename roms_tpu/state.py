@@ -51,6 +51,7 @@ class State:
     Akv: jax.Array       # (N+1,Ny,Nx)
     Akt: jax.Array       # (NAT,N+1,Ny,Nx)
     hsbl: jax.Array      # (Ny,Nx) KPP surface boundary layer depth (m, neg)
+    hbbl: jax.Array      # (Ny,Nx) KPP bottom boundary layer top (m, neg)
 
     # GLS closure state (tke/gls at W-points; mod_mixing.F tke/gls/Lscale)
     tke: jax.Array       # (N+1,Ny,Nx)
@@ -103,7 +104,7 @@ def initial_state(cfg: Config, zeta=None, ubar=None, vbar=None,
         rufrc0_prev=z2(), rufrc0_prev2=z2(), rvfrc0_prev=z2(),
         rvfrc0_prev2=z2(),
         rzeta=z2(), rubar=z2(), rvbar=z2(),
-        Akv=Akv, Akt=Akt, hsbl=z2(),
+        Akv=Akv, Akt=Akt, hsbl=z2(), hbbl=z2(),
         tke=jnp.full(shpw, cfg.gls_params.Kmin, dtype),
         gls=jnp.full(shpw, cfg.gls_params.Pmin, dtype),
         tke_prev=jnp.full(shpw, cfg.gls_params.Kmin, dtype),

@@ -86,14 +86,16 @@ def step(cfg: Config, grid: Grid, state: State,
 
     # --- vertical mixing coefficients (main3d.F:465-469) ---
     hsbl = state.hsbl
+    hbbl = state.hbbl
     ghats = None
     swdk_w = None
     if cfg.vmix == "kpp":
         bvf = eos.brunt_vaisala(cfg, state.t, z_r, z_w)
         srf = srflx if srflx is not None else zero2
-        Akv, Akt, hsbl, ghats = vmix.lmd_vmix(
+        Akv, Akt, hsbl, hbbl, ghats = vmix.lmd_vmix(
             cfg, grid, state.u, state.v, state.t, rho, pden, bvf,
-            Hz, z_r, z_w, sustr, svstr, bustr, bvstr, stflx, srf, hsbl)
+            Hz, z_r, z_w, sustr, svstr, bustr, bvstr, stflx, srf, hsbl,
+            btflx=btflx, hbbl_prev=hbbl)
         if srflx is not None:
             swdk_w = vmix.swfrac(z_w[-1][None] - z_w)
     elif cfg.vmix == "bvf":
@@ -218,7 +220,7 @@ def step(cfg: Config, grid: Grid, state: State,
         rufrc0_prev=rufrc_c, rufrc0_prev2=state.rufrc0_prev,
         rvfrc0_prev=rvfrc_c, rvfrc0_prev2=state.rvfrc0_prev,
         rzeta=fs.rzeta_n, rubar=fs.rubar_n, rvbar=fs.rvbar_n,
-        Akv=Akv, Akt=Akt, hsbl=hsbl,
+        Akv=Akv, Akt=Akt, hsbl=hsbl, hbbl=hbbl,
         tke=tke_new, gls=gls_new,
         tke_prev=state.tke, gls_prev=state.gls,
         Akk=Akk_new, Akp=Akp_new, Lscale=Lscale_new,

@@ -89,3 +89,36 @@ def test_kpp_full_step_runs_stable():
     s = run5(s0)
     for x in jax.tree_util.tree_leaves(s):
         assert np.isfinite(np.asarray(x)).all()
+
+
+def test_bkpp_bottom_layer():
+    """LMD_BKPP: bottom stress under a bottom current must generate a
+    bottom boundary layer (elevated Akv near the bottom; hbbl above the
+    bed), and never degrade the surface-layer mixing (max-blend)."""
+    cfg, grid, s0, ffn = make_ml_case("kpp")
+    cfg = cfg.replace(kpp_bottom=True, bottom_drag="quadratic",
+                      rdrg2=3.0e-3)
+    # barotropic current over the bed drives bottom stress
+    u0 = jnp.full((cfg.N, cfg.ny_tot, cfg.nx_tot), 0.3)
+    s = s0.replace(u=u0, ubar=jnp.full_like(s0.ubar, 0.3))
+    stepf = stepping.make_stepper(cfg, grid, ffn, donate=False)
+    for _ in range(20):
+        s = stepf(s)
+    H = cfg.halo
+    hbbl = np.asarray(s.hbbl[H:H + cfg.Mm, H:H + cfg.Lm])
+    akv_col = np.asarray(s.Akv[:, H + 4, H + 4])
+    assert np.isfinite(hbbl).all()
+    # bottom layer extends above the bed
+    assert (hbbl > -50.0).all()
+    assert hbbl.mean() > -49.0
+    # near-bottom viscosity well above background
+    assert akv_col[1:4].max() > 1e-4
+
+    # surface layer must be at least as mixed as without bkpp
+    cfg_n = cfg.replace(kpp_bottom=False)
+    sn = s0.replace(u=u0, ubar=jnp.full_like(s0.ubar, 0.3))
+    stepn = stepping.make_stepper(cfg_n, grid, ffn, donate=False)
+    for _ in range(20):
+        sn = stepn(sn)
+    akv_n = np.asarray(sn.Akv[:, H + 4, H + 4])
+    assert (akv_col >= akv_n - 1e-12).all()
