@@ -153,6 +153,12 @@ class Config:
     ibio: Tuple[int, ...] = (2, 3, 4, 5)
     bio_params: Optional[object] = None
 
+    # sediment model (SEDIMENT + SUSPLOAD/BEDLOAD_MPM): sed_params is an
+    # ops.sediment.SedParams (hashable); classes ride as passive tracers
+    # starting at sed_params.ised0.
+    sediment: bool = False
+    sed_params: Optional[object] = None
+
     bulk_fluxes: bool = False   # BULK_FLUXES: COARE air-sea fluxes
 
     # Bottom drag: one of "linear" (UV_LDRAG), "quadratic" (UV_QDRAG),

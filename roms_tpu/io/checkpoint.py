@@ -22,11 +22,19 @@ except Exception:          # pragma: no cover
     _HAVE_ORBAX = False
 
 
+def _strip_empty(tree):
+    """Orbax refuses zero-size arrays (e.g. the bed_mass placeholder when
+    the sediment model is off); replace them with None for the save and
+    splice the template's empties back on restore."""
+    return jax.tree_util.tree_map(
+        lambda x: None if np.size(x) == 0 else x, tree)
+
+
 def save(path: str, state) -> None:
     path = os.path.abspath(path)
     if _HAVE_ORBAX:
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, jax.device_get(state), force=True)
+        ckptr.save(path, _strip_empty(jax.device_get(state)), force=True)
         ckptr.wait_until_finished()
     else:
         leaves, treedef = jax.tree_util.tree_flatten(state)
@@ -39,7 +47,13 @@ def restore(path: str, template):
     path = os.path.abspath(path)
     if _HAVE_ORBAX and os.path.isdir(path):
         ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore(path, jax.device_get(template))
+        out = ckptr.restore(path, _strip_empty(jax.device_get(template)))
+        leaves_t, treedef = jax.tree_util.tree_flatten(template)
+        leaves_o = jax.tree_util.tree_flatten(
+            out, is_leaf=lambda x: x is None)[0]
+        return jax.tree_util.tree_unflatten(
+            treedef, [t if o is None else o
+                      for t, o in zip(leaves_t, leaves_o)])
     data = np.load(path + ".npz")
     leaves, treedef = jax.tree_util.tree_flatten(template)
     new = [data[f"arr_{i}"] for i in range(len(leaves))]

@@ -19,7 +19,7 @@ BIO_INI = (1.67, 0.08, 0.06, 0.04)     # NO3, Phyt, Zoop, SDet [mmol/m3]
 
 
 def make_config(Lm: int = 10, Mm: int = 12, N: int = 12,
-                dt: float = 300.0, ndtfast: int = 10,
+                dt: float = 300.0, ndtfast: int = 30,
                 params: NPZDParams | None = None) -> Config:
     cfg = upwelling.make_config(Lm=Lm, Mm=Mm, N=N, dt=dt, ndtfast=ndtfast)
     return cfg.replace(
@@ -33,7 +33,10 @@ def build(cfg: Config | None = None):
     """Returns (cfg, grid, state0, forcing_fn)."""
     cfg = cfg or make_config()
     cfg_uw = cfg.replace(ntracers=2, biology=None, bio_params=None)
-    _, grid, s_uw, ffn = upwelling.build(cfg_uw)
+    cfg_uw, grid, s_uw, ffn = upwelling.build(cfg_uw)
+    # carry over the grid-finalized fields (hmin, fast-filter nfast);
+    # without these the fast barotropic loop is empty and zeta freezes
+    cfg = cfg.replace(hmin=cfg_uw.hmin, nfast=cfg_uw.nfast)
     bio = jnp.stack([jnp.full_like(s_uw.t[0], v) for v in BIO_INI])
     t = jnp.concatenate([s_uw.t, bio], axis=0)
     from ..state import initial_state

@@ -69,6 +69,10 @@ class State:
     DU_avg2: jax.Array
     DV_avg2: jax.Array
 
+    # sediment bed layers (Nbed,NST,Ny,Nx) kg/m2; shape (0,0,Ny,Nx) when
+    # the sediment model is off (SEDBED bed_mass analog)
+    bed_mass: jax.Array
+
 
 def initial_state(cfg: Config, zeta=None, ubar=None, vbar=None,
                   u=None, v=None, t=None) -> State:
@@ -112,4 +116,12 @@ def initial_state(cfg: Config, zeta=None, ubar=None, vbar=None,
         Akk=jnp.full(shpw, cfg.gls_params.akk_bak, dtype),
         Akp=jnp.full(shpw, cfg.gls_params.akp_bak, dtype),
         Lscale=jnp.zeros(shpw, dtype),
-        DU_avg1=z2(), DV_avg1=z2(), DU_avg2=z2(), DV_avg2=z2())
+        DU_avg1=z2(), DV_avg1=z2(), DU_avg2=z2(), DV_avg2=z2(),
+        bed_mass=_initial_bed_mass(cfg, shp2, dtype))
+
+
+def _initial_bed_mass(cfg: Config, shp2, dtype):
+    if not cfg.sediment or cfg.sed_params is None:
+        return jnp.zeros((0, 0) + shp2, dtype)
+    from .ops.sediment import initial_bed
+    return initial_bed(cfg, cfg.sed_params)

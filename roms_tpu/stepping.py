@@ -211,6 +211,14 @@ def step(cfg: Config, grid: Grid, state: State,
         from .ops.biology import apply_biology
         t2 = apply_biology(cfg, grid, state.t, t2, Hz2, z_w2, srflx)
 
+    # --- sediment settling/erosion/bed exchange (main3d.F sediment
+    #     call; Sediment/sediment.F driver) ---
+    bed_mass = state.bed_mass
+    if cfg.sediment and cfg.sed_params is not None:
+        from .ops.sediment import apply_sediment
+        t2, bed_mass = apply_sediment(cfg, grid, cfg.sed_params, t2,
+                                      bed_mass, Hz2, z_w2, bustr, bvstr)
+
     return state.replace(
         time=state.time + cfg.dt, iic=state.iic + 1,
         zeta=fs.Zt_avg1, ubar=ubar2, vbar=vbar2,
@@ -225,13 +233,19 @@ def step(cfg: Config, grid: Grid, state: State,
         tke_prev=state.tke, gls_prev=state.gls,
         Akk=Akk_new, Akp=Akp_new, Lscale=Lscale_new,
         DU_avg1=fs.DU_avg1, DV_avg1=fs.DV_avg1,
-        DU_avg2=fs.DU_avg2, DV_avg2=fs.DV_avg2)
+        DU_avg2=fs.DU_avg2, DV_avg2=fs.DV_avg2,
+        bed_mass=bed_mass)
 
 
 def make_stepper(cfg: Config, grid: Grid,
                  forcing_fn: Optional[Callable] = None,
                  donate: bool = True):
     """jit-compiled single-step function state -> state."""
+    if cfg.nfast <= 0:
+        raise ValueError(
+            "cfg.nfast is 0 - the fast barotropic loop would be empty. "
+            "Use the cfg returned by build_grid/the case builder "
+            "(it finalizes hmin and nfast).")
     f = lambda s: step(cfg, grid, s, forcing_fn)
     return jax.jit(f, donate_argnums=(0,) if donate else ())
 
