@@ -133,6 +133,8 @@ class Config:
     ts_dif2: bool = False       # TS_DIF2
     ts_dif4: bool = False       # TS_DIF4
     ts_mix_geo: bool = False    # MIX_GEO_TS (rotated diffusion)
+    ts_mix_iso: bool = False    # MIX_ISO_TS (epineutral rotation)
+    uv_mix_geo: bool = False    # MIX_GEO_UV (rotated viscosity)
     curvgrid: bool = False      # CURVGRID metric terms
     var_rho_2d: bool = False    # VAR_RHO_2D baroclinic correction in step2d
     splines_vdiff: bool = True  # SPLINES_VDIFF

@@ -23,7 +23,8 @@ from .ops.vbc import set_vbc
 from .ops.pre_step3d import pre_step3d
 from .ops.rhs3d import rhs3d_momentum
 from .ops.mix3d import (uv3dmix2, t3dmix2, uv3dmix4, t3dmix4,
-                        t3dmix2_geo)
+                        t3dmix2_geo, t3dmix4_geo, t3dmix2_iso,
+                        t3dmix4_iso, uv3dmix2_geo)
 from .ops.step2d import Fast2DState, fast_loop
 from .ops.step3d_uv import step3d_uv
 from .ops.step3d_t import step3d_t
@@ -121,13 +122,23 @@ def step(cfg: Config, grid: Grid, state: State,
     ru, rv = prsgrd.prsgrd(cfg, grid, rho, z_r, z_w, Hz)
 
     if any(x != 0.0 for x in cfg.tnu2):
-        if cfg.ts_mix_geo:
+        if cfg.ts_mix_iso:
+            t_nnew = t3dmix2_iso(cfg, grid, state.t, pden, Hz, z_r,
+                                 t_nnew, cfg.dt)
+        elif cfg.ts_mix_geo:
             t_nnew = t3dmix2_geo(cfg, grid, state.t, Hz, z_r, t_nnew,
                                  cfg.dt)
         else:
             t_nnew = t3dmix2(cfg, grid, state.t, Hz, t_nnew, cfg.dt)
     if cfg.ts_dif4 and any(x != 0.0 for x in cfg.tnu4):
-        t_nnew = t3dmix4(cfg, grid, state.t, Hz, t_nnew, cfg.dt)
+        if cfg.ts_mix_iso:
+            t_nnew = t3dmix4_iso(cfg, grid, state.t, pden, Hz, z_r,
+                                 t_nnew, cfg.dt)
+        elif cfg.ts_mix_geo:
+            t_nnew = t3dmix4_geo(cfg, grid, state.t, Hz, z_r, t_nnew,
+                                 cfg.dt)
+        else:
+            t_nnew = t3dmix4(cfg, grid, state.t, Hz, t_nnew, cfg.dt)
 
     clm = frc.get("clm", None)
     ru, rv, rufrc, rvfrc = rhs3d_momentum(
@@ -135,9 +146,14 @@ def step(cfg: Config, grid: Grid, state: State,
         sustr, svstr, bustr, bvstr, clm=clm)
 
     if cfg.uv_vis2 and cfg.visc2 != 0.0:
-        u_nnew, v_nnew, rufrc, rvfrc = uv3dmix2(
-            cfg, grid, state.u, state.v, Hz, u_nnew, v_nnew,
-            rufrc, rvfrc, cfg.dt)
+        if cfg.uv_mix_geo:
+            u_nnew, v_nnew, rufrc, rvfrc = uv3dmix2_geo(
+                cfg, grid, state.u, state.v, Hz, z_r, u_nnew, v_nnew,
+                rufrc, rvfrc, cfg.dt)
+        else:
+            u_nnew, v_nnew, rufrc, rvfrc = uv3dmix2(
+                cfg, grid, state.u, state.v, Hz, u_nnew, v_nnew,
+                rufrc, rvfrc, cfg.dt)
     if cfg.uv_vis4 and cfg.visc4 != 0.0:
         u_nnew, v_nnew, rufrc, rvfrc = uv3dmix4(
             cfg, grid, state.u, state.v, Hz, u_nnew, v_nnew,
