@@ -161,6 +161,13 @@ class Config:
     sediment: bool = False
     sed_params: Optional[object] = None
 
+    # wave-current bottom boundary layer (bbl.F): "ssw" enables the
+    # Sherwood-Signell-Warner closure (ops/bbl.py); bbl_params is an
+    # ops.bbl.BBLParams.  Wave fields come from the forcing dict
+    # ("Hwave", "Pwave", "Dwave").
+    bbl: Optional[str] = None
+    bbl_params: Optional[object] = None
+
     bulk_fluxes: bool = False   # BULK_FLUXES: COARE air-sea fluxes
 
     # Bottom drag: one of "linear" (UV_LDRAG), "quadratic" (UV_QDRAG),

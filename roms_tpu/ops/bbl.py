@@ -1,0 +1,221 @@
+"""Wave-current bottom boundary layer (SSW closure).
+
+TPU-native equivalent of ROMS/Nonlinear/bbl.F + ssw_bbl.h (Sherwood,
+Signell & Warner; M94WC + SSW_CALC_UB + SSW_CALC_ZNOT + N92_RIPRUF
+variant): combined wave-current bottom stress from the Madsen (1994)
+wave boundary layer model, with moveable-bed roughness (Nikuradse +
+Wiberg-Rubin saltation + Wiberg-Harris/Malarkey-Davies ripple
+roughness).  Everything is elementwise; the reference's bisection /
+while-loop solvers become fixed-count vectorized iterations (20 its,
+matching MAXIT in ssw_bbl.h:1337).
+
+Outputs (all kinematic, m2/s2): (bustr, bvstr) current stress at u/v
+points for the momentum solve, and tau_cwmax at rho points - the
+maximum combined wave-current stress that drives sediment resuspension
+(sed_fluxes.F uses bustrcwmax).  Ripple geometry (rheight, rlength)
+persists across steps (SEDBED bottom(:,:,irhgt/irlen) analog).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..config import Config
+from .stencil import im1, ip1, jm1, jp1, at_u, at_v
+
+_EPS = 1.0e-10
+_VONKAR = 0.41
+
+
+@dataclass(frozen=True)
+class BBLParams:
+    """ssw_bbl.h parameters (sediment.in / mod_bbl defaults)."""
+    d50: float = 0.00015          # median grain size (m)
+    srho: float = 2650.0          # sediment density (kg/m3)
+    tau_ce: float = 0.05 / 1025.0  # critical stress (m2/s2)
+    zob: float = 0.0001           # default hydraulic roughness (m)
+    ar: float = 0.267             # ripple roughness coef (Nielsen 92)
+    cdb_min: float = 1.0e-6
+    cdb_max: float = 0.5
+    calc_znot: bool = True        # SSW_CALC_ZNOT moveable-bed roughness
+
+
+def wave_number_kh(h, Fwave):
+    """Explicit kh from the Dean & Dalrymple (1991) 6th-degree Pade
+    approximation (ssw_bbl.h:264-269,SSW_CALC_UB)."""
+    K1, K2, K3 = 0.6666666666, 0.3555555555, 0.1608465608
+    K4, K5, K6 = 0.0632098765, 0.0217540484, 0.0065407983
+    Kdh = h * Fwave ** 2 / C.g
+    Kbh2 = Kdh * Kdh + Kdh / (1.0 + Kdh * (K1 + Kdh * (
+        K2 + Kdh * (K3 + Kdh * (K4 + Kdh * (K5 + K6 * Kdh))))))
+    return jnp.sqrt(Kbh2)
+
+
+def _fwc(cukw):
+    """Madsen (1994) wave friction factor, eqns 32-33 branches
+    (ssw_bbl.h:1389-1398)."""
+    return jnp.where(
+        (cukw > 0.2) & (cukw <= 100.0),
+        jnp.exp(7.02 * jnp.maximum(cukw, 0.2) ** (-0.078) - 8.82),
+        jnp.where(cukw > 10000.0,
+                  jnp.exp(5.61 * 10000.0 ** (-0.109) - 7.30),
+                  jnp.where(cukw > 100.0,
+                            jnp.exp(5.61 * jnp.maximum(cukw, 1.0) **
+                                    (-0.109) - 7.30),
+                            0.43)))
+
+
+def madsen94(ubr, wr, ucr, zr, phiwc, kN, n_iter: int = 20):
+    """Grant-Madsen wave-current model (ssw_bbl.h madsen94, :1301-1456).
+    Vectorized fixed-iteration version of the reference's while loop.
+    Returns (ustrc, ustrwm, ustrr, zoa)."""
+    zo = kN / 30.0
+    cosphiwc = jnp.abs(jnp.cos(phiwc))
+
+    rmu = jnp.zeros_like(ubr)
+    Cmu = jnp.ones_like(ubr)
+    ustrc = jnp.zeros_like(ubr)
+    ustrwm2 = jnp.zeros_like(ubr)
+    ustrr = jnp.zeros_like(ubr)
+    dwc = kN * jnp.ones_like(ubr)
+    for _ in range(n_iter):
+        cukw = Cmu * ubr / (kN * wr)
+        fwci = Cmu * _fwc(cukw)
+        ustrwm2 = 0.5 * fwci * ubr * ubr                   # Eq 29
+        ustrr2 = Cmu * ustrwm2                             # Eq 26
+        ustrr = jnp.sqrt(ustrr2)
+        dwc = jnp.where(cukw >= 8.0,
+                        2.0 * _VONKAR * ustrr / jnp.maximum(wr, _EPS),
+                        kN)                                # Eq 36
+        dwc = jnp.clip(dwc, kN, 0.9 * zr)
+        lnzr = jnp.log(zr / dwc)
+        lndw = jnp.log(dwc / zo)
+        lnln = lnzr / lndw
+        bigsqr = -1.0 + jnp.sqrt(
+            1.0 + (4.0 * _VONKAR * lndw / (lnzr * lnzr)) *
+            ucr / jnp.maximum(ustrr, _EPS))
+        ustrc = 0.5 * ustrr * lnln * bigsqr                # Eq 38
+        rmu = ustrc * ustrc / jnp.maximum(ustrwm2, _EPS)
+        Cmu = jnp.sqrt(1.0 + 2.0 * rmu * cosphiwc + rmu * rmu)  # Eq 27
+    zoa = dwc * (dwc / zo) ** (-jnp.sqrt(
+        rmu / (1.0 + rmu)))                                # Eq 11
+    ustrwm = jnp.sqrt(ustrwm2)
+    return ustrc, ustrwm, ustrr, zoa
+
+
+def ripple_geometry(p: BBLParams, Ab, tstar, rheight, rlength):
+    """Wiberg-Harris ripple predictor, Malarkey & Davies (2003)
+    explicit form (ssw_bbl.h:450-480).  Keeps relict geometry where
+    the bed is not in motion (tstar < 1)."""
+    a1, a2, a3 = 0.095, 0.442, 2.280
+    b1 = 1.0 / a1
+    b2 = 0.5 * (1.0 + a2) * b1
+    b3 = b2 ** 2 - a3 * b1
+    d50 = p.d50
+    d0 = 2.0 * Ab
+    dolam1 = d0 / (535.0 * d50)
+    doeta1 = jnp.exp(b2 - jnp.sqrt(jnp.maximum(
+        b3 - b1 * jnp.log(jnp.maximum(dolam1, _EPS)), 0.0)))
+    lam_ratio = -jnp.log(0.62 * d0 / (535.0 * d50)) * \
+        jnp.log(0.01 * doeta1) / jnp.log(5.0)
+    dolam = jnp.where(doeta1 < 20.0, 1.0 / 0.62,
+                      jnp.where(doeta1 > 100.0, dolam1,
+                                dolam1 * jnp.exp(-lam_ratio)))
+    doeta2 = jnp.exp(b2 - jnp.sqrt(jnp.maximum(
+        b3 - b1 * jnp.log(jnp.maximum(dolam, _EPS)), 0.0)))
+    rh_new = jnp.where(d0 / d50 > 13000.0, 0.0, d0 / doeta2)
+    rl_new = jnp.where(d0 / d50 > 13000.0, 535.0 * d50, d0 / dolam)
+    moving = tstar >= 1.0
+    return (jnp.where(moving, rh_new, rheight),
+            jnp.where(moving, rl_new, rlength))
+
+
+def bblm(cfg: Config, grid, p: BBLParams, u, v, z_r, z_w,
+         Hwave, Pwave, Dwave, rheight, rlength, tau_cw_prev):
+    """One SSW bottom-boundary-layer evaluation.
+
+    u, v: 3-D velocities at nrhs; Hwave/Pwave/Dwave: significant wave
+    height (m), bottom wave period (s), wave direction (rad) at rho
+    points; rheight/rlength: ripple geometry from the previous step;
+    tau_cw_prev: previous max combined stress (for the Shields motion
+    criterion, like the reference's load from SEDBED).
+
+    Returns (bustr, bvstr, tau_c, tau_w, tau_cwmax, rheight, rlength).
+    """
+    Zr = jnp.maximum(z_r[0] - z_w[0], 1.0e-3)
+    Ur = u[0]
+    Vr = v[0]
+
+    Fwave = 2.0 * jnp.pi / jnp.maximum(Pwave, 0.05)
+    Kbh = wave_number_kh(grid.h, Fwave)
+    Ab = 0.5 * Hwave / jnp.maximum(jnp.sinh(Kbh), _EPS) + _EPS
+    Ub = Fwave * Ab + _EPS
+
+    Ucur = 0.5 * (Ur + ip1(Ur))
+    Vcur = 0.5 * (Vr + jp1(Vr))
+    Umag = jnp.sqrt(Ucur * Ucur + Vcur * Vcur + _EPS)
+    phic = jnp.arctan2(Vcur, Ucur)
+    angler = getattr(grid, "angler", None)
+    angler = jnp.zeros_like(Umag) if angler is None else angler
+    phicw = 1.5 * jnp.pi - Dwave - phic - angler
+
+    # --- moveable-bed roughness (ssw_bbl.h:420-495) ---
+    zoMAX = 0.9 * Zr
+    zoMIN = jnp.maximum(5.0e-5, 2.5 * p.d50 / 30.0)
+    zoN = jnp.clip(2.5 * p.d50 / 30.0 * jnp.ones_like(Umag),
+                   zoMIN, zoMAX)
+    if p.calc_znot:
+        tstar = tau_cw_prev / (p.tau_ce + _EPS)
+        # Wiberg-Rubin (1989) saltation roughness (d50 in cm inside)
+        logd = jnp.log(100.0 * p.d50)
+        coef_st = 0.0204 * logd ** 2 + 0.0220 * logd + 0.0709
+        zoST = jnp.where(tstar >= 1.0,
+                         0.056 * p.d50 * 0.68 * tstar /
+                         (1.0 + coef_st * tstar), 0.0)
+        rheight, rlength = ripple_geometry(p, Ab, tstar, rheight,
+                                           rlength)
+        zoBF = p.ar * rheight ** 2 / jnp.maximum(rlength, _EPS)
+        zo = zoN + zoST + zoBF
+    else:
+        zo = jnp.maximum(p.zob, 5.0e-5) * jnp.ones_like(Umag)
+    zo = jnp.clip(zo, zoMIN, zoMAX)
+
+    # --- stresses (ssw_bbl.h:500-560 + madsen94) ---
+    cff1 = _VONKAR / jnp.log(Zr / zo)
+    Cd = jnp.clip(cff1 * cff1, p.cdb_min, p.cdb_max)
+    tau_c_cur = Cd * Umag * Umag                    # pure currents
+
+    abokb = Ab / (30.0 * zo)
+    fwm = jnp.where(
+        (abokb > 0.2) & (abokb <= 100.0),
+        jnp.exp(-8.82 + 7.02 * jnp.maximum(abokb, 0.2) ** (-0.078)),
+        jnp.where(abokb > 100.0,
+                  jnp.exp(-7.30 + 5.61 * jnp.maximum(abokb, 1.0) **
+                          (-0.109)), 0.3))
+    tau_w_pure = 0.5 * fwm * Ub * Ub                # pure waves
+
+    m_ustrc, m_ustrwm, m_ustrr, m_zoa = madsen94(
+        Ub, Fwave, Umag, Zr, phicw, 30.0 * zo)
+
+    eps_u = 1.0e-10
+    waves = Ub > 10.0 * eps_u
+    currents = Umag > 1.0e-6
+    both = waves & currents & (Zr > zo)
+    tau_c = jnp.where(both, m_ustrc ** 2,
+                      jnp.where(currents, tau_c_cur, 0.0))
+    tau_w = jnp.where(both, m_ustrwm ** 2,
+                      jnp.where(waves, tau_w_pure, 0.0))
+    tau_cwmax = jnp.where(
+        both, m_ustrr ** 2,
+        jnp.where(currents, tau_c_cur, tau_w_pure))
+
+    # --- kinematic stress components (ssw_bbl.h:668-720) ---
+    anglec_u = Ur / jnp.maximum(at_u(Umag), _EPS)
+    bustr = at_u(tau_c) * anglec_u * grid.umask
+    anglec_v = Vr / jnp.maximum(at_v(Umag), _EPS)
+    bvstr = at_v(tau_c) * anglec_v * grid.vmask
+
+    return bustr, bvstr, tau_c, tau_w, tau_cwmax, rheight, rlength

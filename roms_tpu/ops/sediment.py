@@ -101,14 +101,19 @@ def _bed_thickness(p: SedParams, bed_mass):
 
 
 def apply_sediment(cfg: Config, grid, p: SedParams, t_new, bed_mass,
-                   Hz, z_w, bustr, bvstr):
+                   Hz, z_w, bustr, bvstr, tau_cw=None):
     """One dt of sediment dynamics.  t_new: (NT,N,Ny,Nx) tracer stack
     after advection/diffusion (concentrations, kg/m3); bed_mass:
-    (Nbed,NST,Ny,Nx) kg/m2.  Returns (t_new, bed_mass)."""
+    (Nbed,NST,Ny,Nx) kg/m2.  tau_cw: optional max combined wave-current
+    stress from the BBL (sed_fluxes.F uses bustrcwmax when BBL_MODEL);
+    falls back to the pure-current stress.  Returns (t_new, bed_mass)."""
     dt = cfg.dt
     bustr = _sanitize_ring(cfg, bustr)
     bvstr = _sanitize_ring(cfg, bvstr)
-    tau_w = bottom_stress_mag(bustr, bvstr)
+    if tau_cw is not None:
+        tau_w = _sanitize_ring(cfg, tau_cw)
+    else:
+        tau_w = bottom_stress_mag(bustr, bvstr)
     rmask = grid.rmask
 
     top = bed_mass[0]                              # (NST,Ny,Nx)

@@ -73,6 +73,12 @@ class State:
     # the sediment model is off (SEDBED bed_mass analog)
     bed_mass: jax.Array
 
+    # wave-current BBL memory (SEDBED bottom irhgt/irlen + max combined
+    # stress; zeros when cfg.bbl is None)
+    rheight: jax.Array   # (Ny,Nx) ripple height (m)
+    rlength: jax.Array   # (Ny,Nx) ripple wavelength (m)
+    tau_cwmax: jax.Array  # (Ny,Nx) max wave-current stress (m2/s2)
+
 
 def initial_state(cfg: Config, zeta=None, ubar=None, vbar=None,
                   u=None, v=None, t=None) -> State:
@@ -117,7 +123,18 @@ def initial_state(cfg: Config, zeta=None, ubar=None, vbar=None,
         Akp=jnp.full(shpw, cfg.gls_params.akp_bak, dtype),
         Lscale=jnp.zeros(shpw, dtype),
         DU_avg1=z2(), DV_avg1=z2(), DU_avg2=z2(), DV_avg2=z2(),
-        bed_mass=_initial_bed_mass(cfg, shp2, dtype))
+        bed_mass=_initial_bed_mass(cfg, shp2, dtype),
+        rheight=z2(),
+        rlength=jnp.full(shp2, _initial_rlength(cfg), dtype),
+        tau_cwmax=z2())
+
+
+def _initial_rlength(cfg: Config) -> float:
+    """Relict ripple wavelength floor: 535*d50 (ssw_bbl.h sheet-flow
+    value) so zoBF=ar*rh^2/rl is well-defined from step one."""
+    if cfg.bbl_params is not None:
+        return 535.0 * cfg.bbl_params.d50
+    return 535.0 * 0.00015
 
 
 def _initial_bed_mass(cfg: Config, shp2, dtype):

@@ -85,6 +85,22 @@ def step(cfg: Config, grid: Grid, state: State,
                                          z_r=z_r, z_w=z_w)
     srflx = frc.get("srflx", None)
 
+    # --- wave-current bottom boundary layer (main3d.F:389 bblm):
+    #     replaces the drag-law bottom stress and provides the max
+    #     combined stress for sediment resuspension ---
+    rheight, rlength, tau_cwmax = (state.rheight, state.rlength,
+                                   state.tau_cwmax)
+    if cfg.bbl == "ssw":
+        from .ops.bbl import bblm, BBLParams
+        bp = cfg.bbl_params or BBLParams()
+        zero2f = jnp.zeros_like(grid.h)
+        bustr, bvstr, _, _, tau_cwmax, rheight, rlength = bblm(
+            cfg, grid, bp, state.u, state.v, z_r, z_w,
+            frc.get("Hwave", zero2f),
+            frc.get("Pwave", zero2f + 8.0),
+            frc.get("Dwave", zero2f),
+            state.rheight, state.rlength, state.tau_cwmax)
+
     # --- vertical mixing coefficients (main3d.F:465-469) ---
     hsbl = state.hsbl
     hbbl = state.hbbl
@@ -232,8 +248,10 @@ def step(cfg: Config, grid: Grid, state: State,
     bed_mass = state.bed_mass
     if cfg.sediment and cfg.sed_params is not None:
         from .ops.sediment import apply_sediment
+        tau_sed = tau_cwmax if cfg.bbl else None
         t2, bed_mass = apply_sediment(cfg, grid, cfg.sed_params, t2,
-                                      bed_mass, Hz2, z_w2, bustr, bvstr)
+                                      bed_mass, Hz2, z_w2, bustr, bvstr,
+                                      tau_cw=tau_sed)
 
     return state.replace(
         time=state.time + cfg.dt, iic=state.iic + 1,
@@ -250,7 +268,8 @@ def step(cfg: Config, grid: Grid, state: State,
         Akk=Akk_new, Akp=Akp_new, Lscale=Lscale_new,
         DU_avg1=fs.DU_avg1, DV_avg1=fs.DV_avg1,
         DU_avg2=fs.DU_avg2, DV_avg2=fs.DV_avg2,
-        bed_mass=bed_mass)
+        bed_mass=bed_mass,
+        rheight=rheight, rlength=rlength, tau_cwmax=tau_cwmax)
 
 
 def make_stepper(cfg: Config, grid: Grid,

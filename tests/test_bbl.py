@@ -1,0 +1,132 @@
+"""SSW wave-current bottom boundary layer (ops/bbl.py): dispersion
+solver accuracy, Madsen-94 limits, wave enhancement of bottom stress,
+and the sediment coupling end-to-end."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from roms_tpu import constants as C
+from roms_tpu.ops.bbl import (BBLParams, bblm, madsen94, wave_number_kh,
+                              ripple_geometry)
+
+
+def test_wave_number_matches_dispersion():
+    # kh from the Dean-Dalrymple Pade fit vs exact kh*tanh(kh)=w^2 h/g
+    g = C.g
+    for h, T in [(5.0, 6.0), (10.0, 8.0), (50.0, 10.0), (200.0, 12.0)]:
+        w = 2 * np.pi / T
+        target = w * w * h / g
+        kh = float(wave_number_kh(jnp.asarray(h), jnp.asarray(w)))
+        resid = kh * np.tanh(kh)
+        np.testing.assert_allclose(resid, target, rtol=2e-3)
+
+
+def test_madsen94_current_limit_and_wave_enhancement():
+    zr, kN = 1.0, 0.005
+    zo = kN / 30.0
+    ucr = 0.4
+    # weak waves: ustrc approaches the pure log-law friction velocity
+    ustrc, ustrwm, ustrr, zoa = madsen94(
+        jnp.asarray(1e-3), jnp.asarray(1.0), jnp.asarray(ucr),
+        jnp.asarray(zr), jnp.asarray(0.0), jnp.asarray(kN))
+    loglaw = 0.41 * ucr / np.log(zr / zo)
+    np.testing.assert_allclose(float(ustrc), loglaw, rtol=0.05)
+    # strong waves: combined max stress exceeds both pure components,
+    # and the current friction velocity is enhanced vs the log law
+    ustrc2, ustrwm2, ustrr2, zoa2 = madsen94(
+        jnp.asarray(0.5), jnp.asarray(2 * np.pi / 8.0), jnp.asarray(ucr),
+        jnp.asarray(zr), jnp.asarray(0.0), jnp.asarray(kN))
+    assert float(ustrr2) > float(ustrc2)
+    assert float(ustrr2) > float(ustrwm2)
+    assert float(ustrc2) > loglaw              # apparent roughness drag
+    assert float(zoa2) > zo                    # apparent roughness grows
+    # monotone in wave forcing
+    assert float(ustrwm2) > float(ustrwm)
+
+
+def test_ripple_geometry_motion_and_relict():
+    p = BBLParams()
+    Ab = jnp.asarray([[0.15]])
+    rh0 = jnp.asarray([[0.011]])
+    rl0 = jnp.asarray([[0.33]])
+    # below threshold: relict geometry preserved
+    rh, rl = ripple_geometry(p, Ab, jnp.asarray([[0.5]]), rh0, rl0)
+    np.testing.assert_allclose(np.asarray(rh), np.asarray(rh0))
+    np.testing.assert_allclose(np.asarray(rl), np.asarray(rl0))
+    # above threshold: anorbital ripples with sane steepness
+    rh, rl = ripple_geometry(p, Ab, jnp.asarray([[2.0]]), rh0, rl0)
+    steep = float(rh[0, 0] / rl[0, 0])
+    assert 0.01 < steep < 0.25
+    # sheet flow: ripples washed out
+    rh, rl = ripple_geometry(p, jnp.asarray([[2.0]]),
+                             jnp.asarray([[50.0]]), rh0, rl0)
+    assert float(rh[0, 0]) == 0.0
+
+
+def test_bblm_waves_enhance_stress_field():
+    from roms_tpu.models import sed_toy
+    from roms_tpu.models.upwelling import hc_of
+    from roms_tpu import vgrid
+    cfg = sed_toy.make_config(Lm=8, Mm=10, N=8)
+    cfg, grid, s, ffn = sed_toy.build(cfg)
+    z_r, z_w, _ = vgrid.set_depth(grid.h, s.zeta, hc_of(cfg), grid.sc_r,
+                                  grid.Cs_r, grid.sc_w, grid.Cs_w,
+                                  cfg.vtransform)
+    p = BBLParams()
+    u = s.u.at[:].set(0.2)
+    v = s.v
+    zero = jnp.zeros_like(grid.h)
+    out_nw = bblm(cfg, grid, p, u, v, z_r, z_w,
+                  zero, zero + 8.0, zero,
+                  s.rheight, s.rlength, s.tau_cwmax)
+    out_w = bblm(cfg, grid, p, u, v, z_r, z_w,
+                 zero + 2.0, zero + 8.0, zero,
+                 s.rheight, s.rlength, s.tau_cwmax)
+    H = cfg.halo
+    jj, ii = slice(H, H + cfg.Mm), slice(H, H + cfg.Lm)
+    tau_nw = np.asarray(out_nw[4][jj, ii])     # tau_cwmax
+    tau_w = np.asarray(out_w[4][jj, ii])
+    assert np.isfinite(tau_w).all()
+    assert (tau_w > tau_nw).all()              # waves add stress
+    # no waves: combined max equals the pure-current stress
+    np.testing.assert_allclose(tau_nw, np.asarray(out_nw[2][jj, ii]),
+                               rtol=1e-8)
+
+
+def test_sed_toy_with_bbl_resuspends():
+    # waves over a weak current: erosion only happens with the BBL's
+    # combined stress (pure current is below critical)
+    from roms_tpu.models import sed_toy
+    from roms_tpu.ops.sediment import SedParams
+    from roms_tpu import stepping
+    p = SedParams(Wsed=(0.0005,), Erate=(5.0e-5,))
+    cfg = sed_toy.make_config(Lm=8, Mm=10, N=8, params=p)
+    cfg = cfg.replace(bbl="ssw", bbl_params=BBLParams())
+    cfg, grid, s0, ffn = sed_toy.build(cfg, conc=0.0)
+
+    def wavy(cfg_, grid_, time):
+        base = ffn(cfg_, grid_, time)
+        one = jnp.ones_like(grid_.h)
+        base.update(Hwave=1.5 * one, Pwave=8.0 * one,
+                    Dwave=jnp.zeros_like(one))
+        return base
+
+    step = stepping.make_stepper(cfg, grid, wavy, donate=False)
+    s = s0
+    for _ in range(20):
+        s = step(s)
+    H = cfg.halo
+    jj, ii = slice(H, H + cfg.Mm), slice(H, H + cfg.Lm)
+    conc = np.asarray(s.t[2][:, jj, ii])
+    assert np.isfinite(conc).all()
+    assert conc.max() > 1.0e-6                 # wave resuspension
+    assert np.asarray(s.bed_mass[:, :, jj, ii]).min() >= 0.0
+    assert np.isfinite(np.asarray(s.tau_cwmax)).all()
+    # without waves the same setup stays clean
+    cfg2, grid2, s2, ffn2 = sed_toy.build(cfg.replace(bbl=None),
+                                          conc=0.0)
+    step2 = stepping.make_stepper(cfg2, grid2, ffn2, donate=False)
+    for _ in range(20):
+        s2 = step2(s2)
+    conc2 = np.asarray(s2.t[2][:, jj, ii])
+    assert conc2.max() < 1.0e-8
