@@ -110,6 +110,26 @@ def _fill_periodic(cfg: Config, a: np.ndarray) -> np.ndarray:
     return a
 
 
+def _fill_closed_halo(cfg: Config, a: np.ndarray) -> np.ndarray:
+    """Replicate the boundary-ring value over the deeper halo cells in
+    closed directions.  The reference evaluates ana_grid only on
+    IstrT:IendT/JstrT:JendT (ROMS index 0..Lm+1, padded H-1..H+Lm) and
+    never initializes ghosts beyond the ring; evaluating an analytic
+    depth formula out there can produce unphysical values (e.g. a
+    negative depth extrapolation), which our roll-based stencils would
+    read.  Keeps the ring row/column analytic."""
+    a = a.copy()
+    H = cfg.halo
+    if not cfg.ew_periodic:
+        a[..., :H - 1] = a[..., H - 1:H]
+        a[..., H + cfg.Lm + 1:] = a[..., H + cfg.Lm:H + cfg.Lm + 1]
+    if not cfg.ns_periodic:
+        a[..., :H - 1, :] = a[..., H - 1:H, :]
+        a[..., H + cfg.Mm + 1:, :] = \
+            a[..., H + cfg.Mm:H + cfg.Mm + 1, :]
+    return a
+
+
 def build_weights(ndtfast: int):
     """Power-law fast-time filter weights (set_weights.F:55-196).
 
@@ -274,6 +294,9 @@ def _assemble(cfg: Config, h, f, pm, pn, xr, yr, rmask, umask, vmask, pmask):
     else:
         dndx = np.zeros_like(pm)
         dmde = np.zeros_like(pm)
+
+    for a in (h, f, pm, pn, rmask, umask, vmask, pmask, dndx, dmde):
+        a[...] = _fill_closed_halo(cfg, a)
 
     H = cfg.halo
     interior = (slice(H, H + cfg.Mm), slice(H, H + cfg.Lm))

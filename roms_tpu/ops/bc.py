@@ -118,6 +118,11 @@ def apply_bc_u(cfg: Config, lbc: LBC, f, gamma2: float = 1.0, mask=None):
             f = _set_col(f, H, jnp.zeros_like(f[..., :, H]))
         elif lbc.west == BC_GRADIENT:
             f = _set_col(f, H, f[..., :, H + 1])
+        # pin the u ghost column west of the boundary face: it has no
+        # reference counterpart (u starts at i=1) and is the source
+        # column for the halo fill - left untouched it integrates
+        # garbage through the kernels and eventually overflows
+        f = _set_col(f, H - 1, f[..., :, H])
         if lbc.east == BC_CLOSED:
             f = _set_col(f, H + L, jnp.zeros_like(f[..., :, H + L]))
         elif lbc.east == BC_GRADIENT:
@@ -149,6 +154,8 @@ def apply_bc_v(cfg: Config, lbc: LBC, f, gamma2: float = 1.0, mask=None):
             f = _set_row(f, H, jnp.zeros_like(f[..., H, :]))
         elif lbc.south == BC_GRADIENT:
             f = _set_row(f, H, f[..., H + 1, :])
+        # pin the v ghost row south of the boundary face (see apply_bc_u)
+        f = _set_row(f, H - 1, f[..., H, :])
         if lbc.north == BC_CLOSED:
             f = _set_row(f, H + M, jnp.zeros_like(f[..., H + M, :]))
         elif lbc.north == BC_GRADIENT:

@@ -26,7 +26,7 @@ def pre_step3d(cfg: Config, grid: Grid, iic, t, t_prev, u, v,
                Hz, z_r, Huon, Hvom, W, Akt,
                sustr, svstr, bustr, bvstr, stflx, btflx,
                ru_prev, ru_prev2, rv_prev, rv_prev2,
-               srflx=None, ghats=None, swdk_w=None):
+               srflx=None, ghats=None, swdk_w=None, sources=None):
     dt = cfg.dt
     pm, pn = grid.pm, grid.pn
     pmn = pm * pn
@@ -47,6 +47,12 @@ def pre_step3d(cfg: Config, grid: Grid, iic, t, t_prev, u, v,
         fv_scheme = "U1" if vscheme in ("MPDATA", "HSIMT") else vscheme
 
         FX, FE = hadv_fluxes(cfg, fx_scheme, t[itrc], Huon, Hvom)
+        if sources is not None:
+            # river faces carry Huon*Tsrc, not the advective stencil
+            # (pre_step3d.F:530-548 LuvSrc)
+            from .sources import apply_tracer_flux_sources
+            FX, FE = apply_tracer_flux_sources(sources, itrc, FX, FE,
+                                               Huon, Hvom)
         cff = jnp.where(iic == 0, 0.5 * dt, (1.0 - gam_h) * dt).astype(dtype)
         cff1 = jnp.where(iic == 0, 1.0, 0.5 + gam_h).astype(dtype)
         cff2 = jnp.where(iic == 0, 0.0, 0.5 - gam_h).astype(dtype)

@@ -133,7 +133,8 @@ def step(cfg: Config, grid: Grid, state: State,
         Hz, z_r, Huon, Hvom, W, Akt,
         sustr, svstr, bustr, bvstr, stflx, btflx,
         state.ru_prev, state.ru_prev2, state.rv_prev, state.rv_prev2,
-        srflx=srflx, ghats=ghats, swdk_w=swdk_w)
+        srflx=srflx, ghats=ghats, swdk_w=swdk_w,
+        sources=frc.get("sources", None))
 
     ru, rv = prsgrd.prsgrd(cfg, grid, rho, z_r, z_w, Hz)
 
