@@ -106,11 +106,42 @@ def _grid_velocity(cfg: Config, grid: Grid, u, v, W, Hz, fl: FloatsState,
     return ug, vg, wg
 
 
+def vwalk_velocity(cfg: Config, grid: Grid, Akt_w, Hz,
+                   fl: FloatsState, rwalk):
+    """Vertical random-walk nudging velocity (vwalk_floats.F:208-219,
+    Hunter, Craig & Philips 1993): w_rw = sqrt(2*Akt/dt)*N(0,1) +
+    dAkt/dz evaluated at the float, returned in w-level units (1/s).
+
+    Akt_w: diffusivity at w-points (N+1,Ny,Nx); rwalk: standard-normal
+    draws (nf,), one per float per step (DRIFTER rwalk / gasdev)."""
+    H = cfg.halo
+    off = H - 1.0
+    x_n, y_n, z_n = fl.xg[3], fl.yg[3], fl.zg[3]
+    xr, yr = x_n + off, y_n + off
+    N = cfg.N
+    kz = jnp.clip(z_n, 0.0, N * 1.0)
+    k1 = jnp.clip(jnp.floor(kz).astype(jnp.int32), 0, N - 1)
+    r = kz - k1
+    a_lo = _bilinear_gather(Akt_w, k1, xr, yr)
+    a_hi = _bilinear_gather(Akt_w, jnp.minimum(k1 + 1, N), xr, yr)
+    akt_f = (1.0 - r) * a_lo + r * a_hi
+    # dAkt/dz at rho levels (mod_mixing dAktdz), sampled at the float
+    dak = (Akt_w[1:] - Akt_w[:-1]) / jnp.maximum(Hz, 1e-12)
+    dak_f = _trilinear(dak, xr, yr, z_n)
+    Hz_f = _bilinear_gather(Hz, jnp.clip(k1, 0, N - 1), xr, yr)
+    w_rw = jnp.sqrt((2.0 / cfg.dt) * jnp.maximum(akt_f, 0.0)) * rwalk \
+        + dak_f
+    return w_rw / jnp.maximum(Hz_f, 1e-12)
+
+
 def step_floats(cfg: Config, grid: Grid, u, v, W, Hz,
-                fl: FloatsState) -> FloatsState:
+                fl: FloatsState, w_vwalk=None) -> FloatsState:
     """Advance float positions one baroclinic step (step_floats.F):
     Milne predictor using 3 velocity histories, Hamming corrector with
-    the velocity at the predicted position; AB-style startup ladder."""
+    the velocity at the predicted position; AB-style startup ladder.
+    w_vwalk: optional vertical random-walk velocity (w-level units,
+    from vwalk_velocity; FLOAT_VWALK applied forward like
+    vwalk_floats.F VWALK_FORWARD)."""
     dt = cfg.dt
     N = cfg.N
     # history slots: index 0 = n-3 ... 3 = n (newest last)
@@ -144,6 +175,11 @@ def step_floats(cfg: Config, grid: Grid, u, v, W, Hz,
     x1 = jnp.where(started, xc, xp)
     y1 = jnp.where(started, yc, yp)
     z1 = jnp.where(started, zc, zp)
+    if w_vwalk is not None:
+        # forward-Euler random-walk displacement (VWALK_FORWARD path,
+        # vwalk_floats.F:275-290): applied outside the Milne/Hamming
+        # ladder so the white-noise variance is not filtered
+        z1 = z1 + dt * w_vwalk
 
     # keep in bounds: periodic wrap or clamp to the interior
     if cfg.ew_periodic:

@@ -92,7 +92,8 @@ def _g(cfg: Config) -> float:
 
 def _rhs_momentum(cfg: Config, grid: Grid, zeta_rhs, ubar, vbar,
                   Drhs, DUon, DVom, gzeta, gzeta2,
-                  forcing: Optional[Forcing2D], pmask_wet=None):
+                  forcing: Optional[Forcing2D], pmask_wet=None,
+                  clm=None):
     """RHS of the 2D momentum equations at the krhs time level
     (step2d_LF_AM3.h:929-1790 under SOLVE3D+UV_ADV+UV_COR+UV_VIS2)."""
     H = cfg.halo
@@ -196,6 +197,19 @@ def _rhs_momentum(cfg: Config, grid: Grid, zeta_rhs, ubar, vbar,
             0.5 * (jm1(pn) + pn) * (ip1(VFxv) - VFxv) - \
             0.5 * (jm1(pm) + pm) * (VFev - jm1(VFev))
 
+    # --- 2D momentum climatology nudging (step2d_LF_AM3.h:1822-1844
+    #     LnudgeM2CLM): cff = avg(M2nudgcof)*cell area, times Drhs ---
+    if clm is not None and "ubarclm" in clm:
+        nud = clm.get("m2nudg", 0.0)
+        cff_u = 0.25 * (im1(nud) + nud) * grid.om_u * grid.on_u \
+            if hasattr(nud, "shape") else 0.5 * nud * grid.om_u * grid.on_u
+        rhs_ubar = rhs_ubar + cff_u * (im1(Drhs) + Drhs) * \
+            (clm["ubarclm"] - ubar)
+        cff_v = 0.25 * (jm1(nud) + nud) * grid.om_v * grid.on_v \
+            if hasattr(nud, "shape") else 0.5 * nud * grid.om_v * grid.on_v
+        rhs_vbar = rhs_vbar + cff_v * (jm1(Drhs) + Drhs) * \
+            (clm["vbarclm"] - vbar)
+
     # --- 2D-only mode: direct surface/bottom stress (the reference's
     # non-SOLVE3D branches; stresses enter via rufrc when SOLVE3D) ---
     if not cfg.solve3d:
@@ -241,7 +255,7 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
               ru0_nm1=None, ru0_nm2=None, rv0_nm1=None, rv0_nm2=None,
               iic: int | jax.Array = 0,
               forcing: Optional[Forcing2D] = None,
-              bry=None, sources=None):
+              bry=None, sources=None, clm=None):
     """Run the full fast loop of one slow step (SOLVE3D mode): nfast LF-AM3
     fast steps plus the auxiliary averaging step.
 
@@ -345,7 +359,8 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
 
     rhs_ubar, rhs_vbar = _rhs_momentum(
         cfg, grid, fs.zeta_n, fs.ubar_n, fs.vbar_n,
-        Drhs, DUon, DVom, zwrk, zwrk * zwrk, forcing, pmask_wet=pw_w)
+        Drhs, DUon, DVom, zwrk, zwrk * zwrk, forcing, pmask_wet=pw_w,
+        clm=clm)
 
     # --- 2D-3D coupling on the first predictor (:1868-1990) ---
     iic = jnp.asarray(iic)
@@ -413,7 +428,8 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
 
         rhs_ubar, rhs_vbar = _rhs_momentum(
             cfg, grid, zeta_p, ubar_p, vbar_p,
-            Drhs, DUon, DVom, zwrk, zwrk * zwrk, forcing, pmask_wet=pw_c)
+            Drhs, DUon, DVom, zwrk, zwrk * zwrk, forcing, pmask_wet=pw_c,
+            clm=clm)
         if cfg.solve3d:
             rhs_ubar = rhs_ubar + rufrc_c
             rhs_vbar = rhs_vbar + rvfrc_c
@@ -471,7 +487,8 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
 
         rhs_ubar, rhs_vbar = _rhs_momentum(
             cfg, grid, fs.zeta_n, fs.ubar_n, fs.vbar_n,
-            Drhs, DUon, DVom, zwrk, zwrk * zwrk, forcing, pmask_wet=pw_p)
+            Drhs, DUon, DVom, zwrk, zwrk * zwrk, forcing, pmask_wet=pw_p,
+            clm=clm)
         if cfg.solve3d:
             rhs_ubar = rhs_ubar + rufrc_c
             rhs_vbar = rhs_vbar + rvfrc_c
@@ -530,7 +547,7 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
 
 def step_2d_only(cfg: Config, grid: Grid, fs: Fast2DState, first: bool,
                  forcing: Optional[Forcing2D] = None,
-                 bry=None, sources=None) -> Fast2DState:
+                 bry=None, sources=None, clm=None) -> Fast2DState:
     """One model step in 2D-only (main2d) mode: a single predictor/corrector
     pair; LF/AM3 history carries across steps.  `first` selects the FE
     predictor used at the very first step of a run (iic == ntfirst)."""
@@ -615,7 +632,8 @@ def step_2d_only(cfg: Config, grid: Grid, fs: Fast2DState, first: bool,
 
     rhs_ubar, rhs_vbar = _rhs_momentum(
         cfg, grid, fs.zeta_n, fs.ubar_n, fs.vbar_n,
-        Drhs, DUon, DVom, zwrk, zwrk * zwrk, forcing, pmask_wet=pw_p)
+        Drhs, DUon, DVom, zwrk, zwrk * zwrk, forcing, pmask_wet=pw_p,
+        clm=clm)
     ubar_p, vbar_p = _step_momentum(
         cfg, grid, u_kstp, v_kstp, z_kstp + h, Dnew,
         cm * rhs_ubar, cm * rhs_vbar)
@@ -656,7 +674,8 @@ def step_2d_only(cfg: Config, grid: Grid, fs: Fast2DState, first: bool,
         um_c = vm_c = pw_c = None
     rhs_ubar, rhs_vbar = _rhs_momentum(
         cfg, grid, zeta_p, ubar_p, vbar_p,
-        Drhs, DUon, DVom, zwrk, zwrk * zwrk, forcing, pmask_wet=pw_c)
+        Drhs, DUon, DVom, zwrk, zwrk * zwrk, forcing, pmask_wet=pw_c,
+        clm=clm)
     cm1 = 0.5 * dtfast * 5.0 / 12.0
     cm2 = 0.5 * dtfast * 8.0 / 12.0
     cm3 = 0.5 * dtfast * 1.0 / 12.0

@@ -201,7 +201,7 @@ def step(cfg: Config, grid: Grid, state: State,
         cfg, grid, fs, rufrc=rufrc, rvfrc=rvfrc,
         ru0_nm1=state.rufrc0_prev, ru0_nm2=state.rufrc0_prev2,
         rv0_nm1=state.rvfrc0_prev, rv0_nm2=state.rvfrc0_prev2,
-        iic=state.iic, bry=bry, sources=sources)
+        iic=state.iic, bry=bry, sources=sources, clm=clm)
 
     # --- new depths from the filtered free surface (main3d.F:736) ---
     z_r2, z_w2, Hz2 = vgrid.set_depth(grid.h, fs.Zt_avg1, hc, grid.sc_r,
