@@ -23,11 +23,18 @@ from .tridiag import spline_vdiff_flux, thomas_implicit
 
 def step3d_t(cfg: Config, grid: Grid, iic, t_nnew, t3, Huon, Hvom, W,
              Hz_new, z_r_new, Akt, t_old=None, bry=None, clm=None,
-             sources=None):
+             sources=None, want_diags=False):
+    """want_diags: additionally return the DIAGNOSTICS_TS budget terms
+    (mod_diags.F DiaTrc / step3d_t.F DiaTwrk analog) - per-step tracer
+    concentration increments from xi/eta/vertical advection and
+    vertical diffusion; exact closure: t_new(interior) =
+    t_nnew_entry/Hz_new + xadv + yadv + vadv + vdiff."""
     dt = cfg.dt
     pmn = grid.pm * grid.pn
     oHz = 1.0 / Hz_new
     out = []
+    dia = {k: [] for k in ("xadv", "yadv", "vadv", "vdiff")} \
+        if want_diags else None
     for itrc in range(cfg.ntracers):
         hscheme = cfg.t_hadv[itrc]
         vscheme = cfg.t_vadv[itrc]
@@ -52,7 +59,17 @@ def step3d_t(cfg: Config, grid: Grid, iic, t_nnew, t3, Huon, Hvom, W,
             ltrc = min(1, itrc) if cfg.ntracers >= 2 else 0
             # vertical diffusion on the Tunits*m field (standard tridiag;
             # the spline form needs Tunits input)
+            pre_vd = tn * oHz
             tn = thomas_implicit(dt, 1.0, Hz_new, z_r_new, Akt[ltrc], tn)
+            if want_diags:
+                dia["xadv"].append(-dt * pmn * oHz *
+                                   ((ip1(FX) - FX) + (ip1(FX2) - FX2)))
+                dia["yadv"].append(-dt * pmn * oHz *
+                                   ((jp1(FE) - FE) + (jp1(FE2) - FE2)))
+                dia["vadv"].append(-dt * pmn * oHz *
+                                   ((FC[1:] - FC[:-1]) +
+                                    (FC2[1:] - FC2[:-1])))
+                dia["vdiff"].append(tn - pre_vd)
             tn = _finalize_tracer(cfg, grid, itrc, tn, t_old, bry, clm, dt)
             out.append(tn)
             continue
@@ -70,16 +87,25 @@ def step3d_t(cfg: Config, grid: Grid, iic, t_nnew, t3, Huon, Hvom, W,
         tn = (tn - dt * pmn * (FC[1:] - FC[:-1])) * oHz
 
         ltrc = min(1, itrc) if cfg.ntracers >= 2 else 0
+        pre_vd = tn
         if cfg.splines_vdiff:
             flux = spline_vdiff_flux(dt, Hz_new, oHz, Akt[ltrc], tn)
             tn = tn + dt * oHz * (flux[1:] - flux[:-1])
         else:
             tn = thomas_implicit(dt, 1.0, Hz_new, z_r_new, Akt[ltrc],
                                  tn * Hz_new)
+        if want_diags:
+            dia["xadv"].append(-dt * pmn * oHz * (ip1(FX) - FX))
+            dia["yadv"].append(-dt * pmn * oHz * (jp1(FE) - FE))
+            dia["vadv"].append(-dt * pmn * oHz * (FC[1:] - FC[:-1]))
+            dia["vdiff"].append(tn - pre_vd)
 
         tn = _finalize_tracer(cfg, grid, itrc, tn, t_old, bry, clm, dt)
         out.append(tn)
-    return jnp.stack(out, axis=0)
+    t_stack = jnp.stack(out, axis=0)
+    if want_diags:
+        return t_stack, {k: jnp.stack(v, axis=0) for k, v in dia.items()}
+    return t_stack
 
 
 def _finalize_tracer(cfg, grid, itrc, tn, t_old, bry, clm, dt):

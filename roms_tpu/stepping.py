@@ -31,11 +31,17 @@ from .ops.step3d_t import step3d_t
 
 
 def step(cfg: Config, grid: Grid, state: State,
-         forcing_fn: Optional[Callable] = None) -> State:
+         forcing_fn: Optional[Callable] = None,
+         collect_diags: bool = False):
     """One slow (baroclinic) step.  forcing_fn(cfg, grid, time) returns a
     dict with sustr, svstr (kinematic wind stress, m2/s2) and stflux,
     btflux ((NT,Ny,Nx) surface/bottom tracer fluxes); the analytic-forcing
-    analog of get_data/set_data + ana_smflux/ana_stflux."""
+    analog of get_data/set_data + ana_smflux/ana_stflux.
+
+    collect_diags (DIAGNOSTICS_TS; mod_diags.F DiaTrc): additionally
+    return the per-step tracer budget terms dict with keys
+    xadv/yadv/vadv/vdiff (from step3d_t), hdiff (t3dmix), rate
+    (total t change) - concentration increments per step."""
     hc = hc_of(cfg)
     dtype = state.zeta.dtype
     zero2 = jnp.zeros_like(state.zeta)
@@ -138,6 +144,7 @@ def step(cfg: Config, grid: Grid, state: State,
 
     ru, rv = prsgrd.prsgrd(cfg, grid, rho, z_r, z_w, Hz)
 
+    t_nnew_premix = t_nnew if collect_diags else None
     if any(x != 0.0 for x in cfg.tnu2):
         if cfg.ts_mix_iso:
             t_nnew = t3dmix2_iso(cfg, grid, state.t, pden, Hz, z_r,
@@ -235,9 +242,14 @@ def step(cfg: Config, grid: Grid, state: State,
             sustr, svstr, bustr, bvstr)
 
     # --- tracer corrector (main3d.F:814) ---
-    t2 = step3d_t(cfg, grid, state.iic, t_nnew, t3, Huon2, Hvom2, W2,
-                  Hz2, z_r2, Akt, t_old=state.t, bry=bry, clm=clm,
-                  sources=sources)
+    res = step3d_t(cfg, grid, state.iic, t_nnew, t3, Huon2, Hvom2, W2,
+                   Hz2, z_r2, Akt, t_old=state.t, bry=bry, clm=clm,
+                   sources=sources, want_diags=collect_diags)
+    if collect_diags:
+        t2, dia_ts = res
+        dia_ts["hdiff"] = (t_nnew - t_nnew_premix) / Hz2
+    else:
+        t2 = res
 
     # --- biological source/sink terms (main3d.F biology call) ---
     if cfg.biology is not None:
@@ -254,7 +266,7 @@ def step(cfg: Config, grid: Grid, state: State,
                                       bed_mass, Hz2, z_w2, bustr, bvstr,
                                       tau_cw=tau_sed)
 
-    return state.replace(
+    new_state = state.replace(
         time=state.time + cfg.dt, iic=state.iic + 1,
         zeta=fs.Zt_avg1, ubar=ubar2, vbar=vbar2,
         u=u2, v=v2, t=t2, t_prev=state.t,
@@ -271,6 +283,10 @@ def step(cfg: Config, grid: Grid, state: State,
         DU_avg2=fs.DU_avg2, DV_avg2=fs.DV_avg2,
         bed_mass=bed_mass,
         rheight=rheight, rlength=rlength, tau_cwmax=tau_cwmax)
+    if collect_diags:
+        dia_ts["rate"] = new_state.t - state.t
+        return new_state, dia_ts
+    return new_state
 
 
 def make_stepper(cfg: Config, grid: Grid,
