@@ -47,3 +47,37 @@ def test_i4dvar_twin_experiment():
     err_b = float(jnp.abs(background.t[0, -1] - truth.t[0, -1]).max())
     err_a = float(jnp.abs(analysis.t[0, -1] - truth.t[0, -1]).max())
     assert err_a < 0.5 * err_b
+
+
+def test_rbl4dvar_dual_matches_primal():
+    """The dual (observation-space) solve must reach the same analysis
+    as the primal I4D-Var for the same B and enough iterations."""
+    cfg = upwelling.make_config(Lm=12, Mm=14, N=4, ndtfast=6)
+    cfg, grid, truth0, ffn = upwelling.build(cfg)
+    H = cfg.halo
+    nsteps = 2
+    pert = 0.5 * jnp.exp(
+        -(((grid.xr - 6e3) / 3e3) ** 2 + ((grid.yr - 7e3) / 3e3) ** 2))
+    t_true = truth0.t.at[0].add(pert)
+    truth = truth0.replace(t=t_true, t_prev=t_true)
+    s = truth
+    obs = []
+    stepf = stepping.make_stepper(cfg, grid, ffn, donate=False)
+    for n in range(1, nsteps + 1):
+        s = stepf(s)
+        if n == 2:
+            ii = np.s_[0, -1, H:H + cfg.Mm, H:H + cfg.Lm]
+            obs.append(fourdvar.Obs(
+                step=n, field="t", idx=ii, values=s.t[ii], sigma=0.1))
+    sig = {"zeta": 0.0, "u": 0.0, "v": 0.0, "t": 0.5}
+    ana_d, dd = fourdvar.rbl4dvar(cfg, grid, truth0, obs, nsteps, ffn,
+                                  sigmas=sig, b_iters=2, n_inner=8)
+    ana_p, dp = fourdvar.i4dvar(cfg, grid, truth0, obs, nsteps, ffn,
+                                sigmas=sig, b_iters=2, n_inner=8)
+    # dual reduces the cost like the primal
+    assert dd["Jo"][-1] < 0.05 * dd["Jo"][0]
+    # same analysis increment (same normal equations)
+    da = np.asarray(ana_d.t[0, -1]) - np.asarray(truth0.t[0, -1])
+    pa = np.asarray(ana_p.t[0, -1]) - np.asarray(truth0.t[0, -1])
+    scale = np.abs(pa).max()
+    np.testing.assert_allclose(da, pa, atol=0.05 * scale)
