@@ -15,7 +15,25 @@ follows the reference's exchange points.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def take_k(arr, ks):
+    """``arr[ks[y,x], ..., y, x]`` — gather along the leading (k) axis.
+
+    TPU-fast replacement for ``jnp.take_along_axis(arr, ks[None], 0)[0]``:
+    XLA lowers that gather to a slow scatter/gather path (~0.45 ms per call
+    on a (30,64,512) field on v5e), while this one-hot masked reduction is
+    a single vectorized pass (~5 us).  ``ks`` is clipped to the valid range.
+    """
+    K = arr.shape[0]
+    ks = jnp.clip(ks, 0, K - 1)
+    karr = jax.lax.broadcasted_iota(jnp.int32, (K,) + ks.shape, 0)
+    mask = karr == ks.astype(jnp.int32)[None]
+    if arr.ndim > mask.ndim:
+        mask = mask.reshape((K,) + (1,) * (arr.ndim - mask.ndim) + ks.shape)
+    return jnp.sum(jnp.where(mask, arr, 0), axis=0)
 
 
 def shift(a, di: int = 0, dj: int = 0):

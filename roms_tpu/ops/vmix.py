@@ -21,7 +21,7 @@ from .. import constants as C
 from ..config import Config
 from ..grid import Grid
 from . import bc, eos
-from .stencil import ip1, jp1
+from .stencil import ip1, jp1, take_k
 
 # --- constants (mod_scalars.F) ---
 vonKar = 0.41
@@ -253,11 +253,11 @@ def lmd_vmix(cfg: Config, grid: Grid, u, v, t, rho, pden, bvf,
     ks = jnp.max(jnp.where(pos, kidx, 1), axis=0)       # (Ny,Nx)
     ks = jnp.maximum(ks, 1)
     # gather FC(k-1), FC(k), z_w(k), z_w(k-1) at k=ks
-    FC_km1 = jnp.take_along_axis(FCcrit, (ks - 1)[None], axis=0)[0]
+    FC_km1 = take_k(FCcrit, ks - 1)
     FC_pad = jnp.concatenate([FCcrit, jnp.zeros_like(FCcrit[:1])], axis=0)
-    FC_k = jnp.take_along_axis(FC_pad, ks[None], axis=0)[0]
-    zw_k = jnp.take_along_axis(z_w, ks[None], axis=0)[0]
-    zw_km1 = jnp.take_along_axis(z_w, (ks - 1)[None], axis=0)[0]
+    FC_k = take_k(FC_pad, ks)
+    zw_k = take_k(z_w, ks)
+    zw_km1 = take_k(z_w, ks - 1)
     denom = FC_km1 - FC_k
     denom = jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
     hsbl = jnp.where(ks > 1,
@@ -294,10 +294,10 @@ def lmd_vmix(cfg: Config, grid: Grid, u, v, t, rho, pden, bvf,
     interior_bl = hsbl > z_w[1]
 
     def match(Ak):
-        Ak_k = jnp.take_along_axis(Ak, ks[None], axis=0)[0]
-        Ak_km1 = jnp.take_along_axis(Ak, (ks - 1)[None], axis=0)[0]
-        zw_k = jnp.take_along_axis(z_w, ks[None], axis=0)[0]
-        zw_km1 = jnp.take_along_axis(z_w, (ks - 1)[None], axis=0)[0]
+        Ak_k = take_k(Ak, ks)
+        Ak_km1 = take_k(Ak, ks - 1)
+        zw_k = take_k(z_w, ks)
+        zw_km1 = take_k(z_w, ks - 1)
         cffk = 1.0 / (zw_k - zw_km1)
         cff_dn = cffk * (hsbl - zw_km1)
         cff_up = cffk * (zw_k - hsbl)
@@ -423,10 +423,10 @@ def _lmd_bkpp(cfg: Config, grid: Grid, Akv, Akt_t, Akt_s, pden, bvf,
     cross = (FC[:-1] < lmd_Ric) & (FC[1:] >= lmd_Ric)   # k=1..N
     karr = jnp.arange(1, N + 1)[:, None, None]
     kb = jnp.min(jnp.where(cross, karr, N), axis=0)
-    FC_k = jnp.take_along_axis(FC, kb[None], axis=0)[0]
-    FC_km1 = jnp.take_along_axis(FC, (kb - 1)[None], axis=0)[0]
-    zw_k = jnp.take_along_axis(z_w, kb[None], axis=0)[0]
-    zw_km1 = jnp.take_along_axis(z_w, (kb - 1)[None], axis=0)[0]
+    FC_k = take_k(FC, kb)
+    FC_km1 = take_k(FC, kb - 1)
+    zw_k = take_k(z_w, kb)
+    zw_km1 = take_k(z_w, kb - 1)
     den = FC_k - FC_km1
     den = jnp.where(jnp.abs(den) > 1e-30, den, 1e-30)
     any_cross = jnp.any(cross, axis=0)
@@ -460,10 +460,10 @@ def _lmd_bkpp(cfg: Config, grid: Grid, Akv, Akt_t, Akt_s, pden, bvf,
     zbl = hbbl - zbot
 
     def match(Ak):
-        Ak_k = jnp.take_along_axis(Ak, kbbl[None], axis=0)[0]
-        Ak_km1 = jnp.take_along_axis(Ak, (kbbl - 1)[None], axis=0)[0]
-        zw_k = jnp.take_along_axis(z_w, kbbl[None], axis=0)[0]
-        zw_km1 = jnp.take_along_axis(z_w, (kbbl - 1)[None], axis=0)[0]
+        Ak_k = take_k(Ak, kbbl)
+        Ak_km1 = take_k(Ak, kbbl - 1)
+        zw_k = take_k(z_w, kbbl)
+        zw_km1 = take_k(z_w, kbbl - 1)
         cffk = 1.0 / (zw_k - zw_km1)
         cff_dn = cffk * (hbbl - zw_km1)
         cff_up = cffk * (zw_k - hbbl)
