@@ -1,0 +1,734 @@
+"""Additional ecosystem models: NPZD-Franks, NPZD-iron, Fennel BGC.
+
+TPU-native re-implementations of the reference's biology.F plugins
+(ROMS/Nonlinear/Biology/):
+
+ * npzd_Franks.h  - classic Franks et al. (1986) NPZD
+ * npzd_iron.h    - Powell NPZD + iron limitation (IRON_LIMIT/IRON_RELAX)
+ * fennel.h       - Fennel et al. (2006) nitrogen-cycle BGC with
+                    optional PO4, OXYGEN, CARBON (pCO2 air-sea flux),
+                    DENITRIFICATION and BIO_SEDIMENT closures
+
+All share the design of ops/biology.py: every conversion stage treats
+the consumed compartment backward-implicitly (divide by 1+cff, add
+cff*consumed to the consumer), so each stage conserves the total and
+never produces negatives (fennel.h:645-682 documents the scheme); the
+chained stages are pure elementwise ops on (N,Ny,Nx) fields that XLA
+fuses into a handful of kernels.  Sinking reuses biology.ppm_sink (the
+CFL-free PPM + WENO semi-Lagrangian reconstruction).
+
+The surface CO2 system (pCO2_water, fennel.h:1938-2372) is solved with
+a vectorized fixed-iteration bisection over the whole surface plane -
+the branchless analog of the reference's bracket-and-bisection default
+(DoNewton=0), bit-comparable after 50 halvings.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..config import Config
+from ..constants import rho0_default as rho0, Cp
+from .biology import ppm_sink, _positive_definite, _MINVAL
+
+
+# =====================================================================
+# NPZD Franks (npzd_Franks.h)
+# =====================================================================
+
+@dataclass(frozen=True)
+class FranksParams:
+    """npzd_Franks.in defaults (External/npzd_Franks.in:49-106)."""
+    BioIter: int = 1
+    K_ext: float = 0.06    # 1/m light extinction
+    K_NO3: float = 0.1     # mmol/m3 half-saturation
+    K_Phy: float = 0.4     # mmol/m3 grazing half-saturation
+    Vm_NO3: float = 2.0    # 1/day max uptake
+    PhyMR: float = 0.05    # 1/day P mortality -> D
+    ZooGR: float = 0.6     # 1/day max grazing
+    ZooMR: float = 0.2     # 1/day Z mortality -> N
+    ZooMD: float = 0.05    # 1/day Z mortality -> D
+    ZooGA: float = 0.3     # grazing inefficiency -> D
+    ZooEC: float = 0.15    # grazing excreted -> N
+    DetRR: float = 0.1     # 1/day remineralization
+    wDet: float = 5.0      # m/day detritus sinking
+
+
+def npzd_franks(cfg: Config, p: FranksParams, t_old, t_new, Hz, z_w, z_r,
+                srflx=None):
+    """Franks NPZD conversions (npzd_Franks.h:316-380): Michaelis-Menten
+    uptake with exponential light decay exp(K_ext*z_r), quadratic-
+    saturation grazing, linear mortalities, remineralization, detritus
+    sinking.  Increment from t_old added to t_new."""
+    idb = cfg.ibio
+    if len(idb) != 4:
+        raise ValueError(f"npzd_franks needs 4 bio tracers, got {idb}")
+    iN, iP, iZ, iD = 0, 1, 2, 3
+    dtd = cfg.dt / 86400.0 / max(1, p.BioIter)
+
+    bio = jnp.stack([t_old[i] for i in idb])
+    bio = _positive_definite(bio)
+    bio_old = bio
+
+    for _ in range(max(1, p.BioIter)):
+        # nutrient uptake with light exp(K_ext*z_r) (npzd_Franks.h:316)
+        cff = bio[iP] * dtd * p.Vm_NO3 * jnp.exp(p.K_ext * z_r) / \
+            (p.K_NO3 + bio[iN])
+        n_new = bio[iN] / (1.0 + cff)
+        bio = bio.at[iN].set(n_new).at[iP].add(n_new * cff)
+
+        # grazing (quadratic saturation) + P mortality, one implicit
+        # stage (npzd_Franks.h:330-350)
+        cff = bio[iZ] * bio[iP] * dtd * p.ZooGR / \
+            (p.K_Phy * p.K_Phy + bio[iP] * bio[iP])
+        cff2 = dtd * p.PhyMR
+        p_new = bio[iP] / (1.0 + cff + cff2)
+        bio = (bio.at[iP].set(p_new)
+               .at[iZ].add(p_new * cff * (1.0 - p.ZooGA))
+               .at[iD].add(p_new * (cff2 + cff * (p.ZooGA - p.ZooEC)))
+               .at[iN].add(p_new * cff * p.ZooEC))
+
+        # Z excretion -> N and mortality -> D (npzd_Franks.h:354-366)
+        z_new = bio[iZ] / (1.0 + dtd * (p.ZooMR + p.ZooMD))
+        bio = (bio.at[iZ].set(z_new)
+               .at[iN].add(z_new * dtd * p.ZooMR)
+               .at[iD].add(z_new * dtd * p.ZooMD))
+
+        # remineralization (npzd_Franks.h:370-378)
+        d_new = bio[iD] / (1.0 + dtd * p.DetRR)
+        bio = bio.at[iD].set(d_new).at[iN].add(d_new * dtd * p.DetRR)
+
+        # detritus sinking (idsink=(iSDet,), npzd_Franks.h:176-181)
+        if p.wDet != 0.0:
+            sunk, _ = ppm_sink(bio[iD], Hz, z_w, dtd * abs(p.wDet))
+            bio = bio.at[iD].set(sunk)
+
+    incr = bio - bio_old
+    for n, i in enumerate(idb):
+        t_new = t_new.at[i].add(incr[n])
+    return t_new
+
+
+# =====================================================================
+# NPZD iron (npzd_iron.h)
+# =====================================================================
+
+@dataclass(frozen=True)
+class IronParams:
+    """npzd_iron.in defaults (External/npzd_iron.in:49-120)."""
+    BioIter: int = 1
+    PARfrac: float = 0.43
+    AttSW: float = 0.067
+    AttPhy: float = 0.04
+    PhyIS: float = 0.02
+    Vm_NO3: float = 1.0
+    PhyMRD: float = 0.1
+    PhyMRN: float = 0.0
+    K_NO3: float = 1.0
+    Ivlev: float = 0.84
+    ZooGR: float = 0.65
+    ZooEED: float = 0.0
+    ZooEEN: float = 0.3
+    ZooMRD: float = 0.145
+    ZooMRN: float = 0.0
+    DetRR: float = 1.0
+    wPhy: float = 0.0
+    wDet: float = 8.0
+    # iron (IRON_LIMIT)
+    T_Fe: float = 1.0      # days, Fe uptake time scale
+    A_Fe: float = 0.6      # Fe:C empirical exponent
+    B_Fe: float = 64.0     # Fe:C empirical factor
+    K_FeC: float = 16.9    # umol-Fe/mol-C half-saturation
+    FeRR: float = 0.5      # Fe remineralization fraction
+    # IRON_RELAX coastal source
+    iron_relax: bool = False
+    FeHmin: float = 200.0  # m, relax where h <= FeHmin
+    FeNudgTime: float = 5.0   # days
+    FeMax: float = 2.0     # mmol/m3 target
+    const_par: Optional[float] = None
+
+
+_FeN2FeC = (16.0 / 106.0) * 1.0e3     # umol-Fe/mmol-N -> umol-Fe/mol-C
+_FeC2FeN = (106.0 / 16.0) * 1.0e-3
+
+
+def npzd_iron(cfg: Config, p: IronParams, grid, t_old, t_new, Hz, z_w,
+              srflx):
+    """Powell NPZD with iron limitation (npzd_iron.h:330-612).  Six
+    compartments: NO3, Phy, Zoo, SDet, Fdis, Fphy (cfg.ibio order)."""
+    from .biology import _light, NPZDParams
+    idb = cfg.ibio
+    if len(idb) != 6:
+        raise ValueError(f"npzd_iron needs 6 bio tracers, got {idb}")
+    iN, iP, iZ, iD, iFd, iFp = 0, 1, 2, 3, 4, 5
+    dtd = cfg.dt / 86400.0 / max(1, p.BioIter)
+
+    bio = jnp.stack([t_old[i] for i in idb])
+    bio = _positive_definite(bio)
+
+    # IRON_RELAX: coastal dissolved-iron source (npzd_iron.h:306-316);
+    # applied before the reaction chain, included in the increment
+    if p.iron_relax:
+        coef = cfg.dt / (p.FeNudgTime * 86400.0)
+        shallow = grid.h <= p.FeHmin
+        bio = bio.at[iFd].add(
+            jnp.where(shallow[None], coef * (p.FeMax - bio[iFd]), 0.0))
+    bio_old = bio if not p.iron_relax else jnp.stack(
+        [t_old[i] for i in idb])
+    bio_old = _positive_definite(bio_old)
+
+    if p.const_par is not None:
+        par_sur = jnp.full_like(bio[0, 0], p.const_par)
+    else:
+        srf = srflx if srflx is not None else jnp.zeros_like(bio[0, 0])
+        par_sur = p.PARfrac * srf * rho0 * Cp
+
+    lp = NPZDParams(AttSW=p.AttSW, AttPhy=p.AttPhy)
+    for _ in range(max(1, p.BioIter)):
+        light = _light(lp, bio[iP], z_w, par_sur)
+
+        # --- iron-limited uptake (npzd_iron.h:428-466) ---
+        FNratio = bio[iFp] / jnp.maximum(_MINVAL, bio[iP])
+        FCratio = FNratio * _FeN2FeC
+        FCratioE = p.B_Fe * jnp.maximum(bio[iFd], 0.0) ** p.A_Fe
+        Flimit = FCratio ** 2 / (FCratio ** 2 + p.K_FeC ** 2)
+        Nlimit = 1.0 / (p.K_NO3 + bio[iN])
+        FNlim = jnp.minimum(1.0, Flimit / jnp.maximum(
+            _MINVAL, bio[iN] * Nlimit))
+        cff4 = 1.0 / jnp.sqrt(p.Vm_NO3 ** 2 + p.PhyIS ** 2 * light ** 2)
+        cff = bio[iP] * dtd * p.Vm_NO3 * p.PhyIS * cff4 * light * \
+            FNlim * Nlimit
+        n_new = bio[iN] / (1.0 + cff)
+        bio = bio.at[iN].set(n_new).at[iP].add(n_new * cff)
+
+        # iron uptake proportional to growth (npzd_iron.h:470-476)
+        fac = cff * n_new * FNratio / jnp.maximum(_MINVAL, bio[iFd])
+        fd_new = bio[iFd] / (1.0 + fac)
+        bio = bio.at[iFd].set(fd_new).at[iFp].add(fd_new * fac)
+
+        # relax Fe:C toward the empirical ratio (npzd_iron.h:478-492)
+        cff5 = dtd * (FCratioE - FCratio) / p.T_Fe
+        cff6 = bio[iP] * cff5 * _FeC2FeN
+        cff_up = jnp.maximum(cff6, 0.0) / jnp.maximum(_MINVAL, bio[iFd])
+        cff_dn = jnp.maximum(-cff6, 0.0) / jnp.maximum(_MINVAL, bio[iFp])
+        fd1 = bio[iFd] / (1.0 + cff_up)
+        fp1 = bio[iFp] + fd1 * cff_up
+        fp2 = fp1 / (1.0 + cff_dn)
+        fd2 = fd1 + fp2 * cff_dn
+        bio = bio.at[iFd].set(fd2).at[iFp].set(fp2)
+
+        # Ivlev grazing w/ sloppy feeding + Fe release (h:505-524)
+        cff = bio[iZ] * dtd * p.ZooGR * \
+            (1.0 - jnp.exp(-p.Ivlev * bio[iP])) / bio[iP]
+        p_new = bio[iP] / (1.0 + cff)
+        fp_new = bio[iFp] / (1.0 + cff)
+        bio = (bio.at[iP].set(p_new)
+               .at[iZ].add(p_new * (1.0 - p.ZooEEN - p.ZooEED) * cff)
+               .at[iN].add(p_new * p.ZooEEN * cff)
+               .at[iD].add(p_new * p.ZooEED * cff)
+               .at[iFp].set(fp_new)
+               .at[iFd].add(fp_new * cff * p.FeRR))
+
+        # P mortality + Fe release (h:527-546)
+        cffm = dtd * (p.PhyMRN + p.PhyMRD)
+        p_new = bio[iP] / (1.0 + cffm)
+        fp_new = bio[iFp] / (1.0 + cffm)
+        bio = (bio.at[iP].set(p_new)
+               .at[iN].add(p_new * dtd * p.PhyMRN)
+               .at[iD].add(p_new * dtd * p.PhyMRD)
+               .at[iFp].set(fp_new)
+               .at[iFd].add(fp_new * cffm * p.FeRR))
+
+        # Z mortality (h:548-562)
+        z_new = bio[iZ] / (1.0 + dtd * (p.ZooMRN + p.ZooMRD))
+        bio = (bio.at[iZ].set(z_new)
+               .at[iN].add(z_new * dtd * p.ZooMRN)
+               .at[iD].add(z_new * dtd * p.ZooMRD))
+
+        # remineralization (h:564-574)
+        d_new = bio[iD] / (1.0 + dtd * p.DetRR)
+        bio = bio.at[iD].set(d_new).at[iN].add(d_new * dtd * p.DetRR)
+
+        # sinking: Phy and SDet (npzd_iron.h:221-228)
+        for (comp, w) in ((iP, p.wPhy), (iD, p.wDet)):
+            if w != 0.0:
+                sunk, _ = ppm_sink(bio[comp], Hz, z_w, dtd * abs(w))
+                bio = bio.at[comp].set(sunk)
+
+    incr = bio - bio_old
+    for n, i in enumerate(idb):
+        t_new = t_new.at[i].add(incr[n])
+    return t_new
+
+
+# =====================================================================
+# Fennel et al. (2006) biogeochemistry (fennel.h)
+# =====================================================================
+
+@dataclass(frozen=True)
+class FennelParams:
+    """bio_Fennel.in defaults (External/bio_Fennel.in:49-90)."""
+    BioIter: int = 1
+    AttSW: float = 0.04       # 1/m
+    AttChl: float = 0.02486   # m2/mg_Chl
+    PARfrac: float = 0.43
+    Vp0: float = 1.0          # Eppley max growth factor
+    I_thNH4: float = 0.0095   # W/m2 nitrification threshold
+    D_p5NH4: float = 0.1      # W/m2 nitrification half-dose
+    NitriR: float = 0.05      # 1/day
+    K_NO3: float = 2.0        # 1/(mmol/m3) (inverse half-saturation!)
+    K_NH4: float = 2.0        # 1/(mmol/m3)
+    K_PO4: float = 32.0       # 1/(mmol/m3)
+    K_Phy: float = 2.0        # (mmol/m3)^2
+    Chl2C_m: float = 0.0535   # mg_Chl/mg_C max ratio
+    ChlMin: float = 0.001
+    PhyCN: float = 6.625      # mol_C/mol_N
+    R_P2N: float = 0.0625     # mol_P/mol_N
+    PhyIS: float = 0.025      # 1/(W/m2/day)
+    PhyMin: float = 0.001
+    PhyMR: float = 0.15       # 1/day
+    ZooAE_N: float = 0.75     # assimilation efficiency
+    ZooBM: float = 0.1        # 1/day basal metabolism
+    ZooCN: float = 6.625
+    ZooER: float = 0.1        # 1/day excretion
+    ZooGR: float = 0.6        # 1/day grazing
+    ZooMin: float = 0.001
+    ZooMR: float = 0.025      # 1/day mortality
+    LDeRRN: float = 0.01      # 1/day large-detritus N remin
+    LDeRRC: float = 0.01
+    CoagR: float = 0.005      # 1/day coagulation
+    SDeRRN: float = 0.03
+    SDeRRC: float = 0.03
+    wPhy: float = 0.1         # m/day
+    wLDet: float = 1.0
+    wSDet: float = 0.1
+    pCO2air: float = 370.0    # ppmv
+    # option flags (CPP analogs)
+    oxygen: bool = False      # OXYGEN
+    carbon: bool = False      # CARBON (adds LDeC,SDeC,TIC,TAlk)
+    po4: bool = False         # PO4
+    denitrification: bool = False   # DENITRIFICATION
+    bio_sediment: bool = True       # BIO_SEDIMENT (recommended)
+    talk_nonconserv: bool = False   # TALK_NONCONSERV
+    const_par: Optional[float] = None
+
+
+# O2 Schmidt number (Wanninkhof 1992) and saturation (Garcia & Gordon
+# 1992) coefficients; fennel.h:368-384
+_A_O2, _B_O2, _C_O2, _D_O2, _E_O2 = 1953.4, 128.0, 3.9918, 0.050091, 0.0
+_OA = (2.00907, 3.22014, 4.05010, 4.94457, -0.256847, 3.88767)
+_OB = (-0.00624523, -0.00737614, -0.0103410, -0.00817083)
+_OC0 = -0.000000488682
+_rOxNO3 = 8.625           # 138/16, fennel.h:385
+_rOxNH4 = 6.625           # 106/16
+_l2mol = 1000.0 / 22.3916
+# CO2 Schmidt (Wanninkhof 1992) + solubility (Weiss 1974); h:400-413
+_A_CO2, _B_CO2, _C_CO2, _D_CO2, _E_CO2 = (2073.1, 125.62, 3.6276,
+                                          0.043219, 0.0)
+_CO2SOL = (-60.2409, 93.4517, 23.3585, 0.023517, -0.023656, 0.0047036)
+
+
+def o2_saturation(temp, salt):
+    """O2 saturation (mmol/m3), Garcia & Gordon (1992) (fennel.h:1128)."""
+    ts = jnp.log((298.15 - temp) / (273.15 + temp))
+    a0, a1, a2, a3, a4, a5 = _OA
+    b0, b1, b2, b3 = _OB
+    aa = a0 + ts * (a1 + ts * (a2 + ts * (a3 + ts * (a4 + ts * a5)))) + \
+        salt * (b0 + ts * (b1 + ts * (b2 + ts * b3))) + \
+        _OC0 * salt * salt
+    return _l2mol * jnp.exp(aa)
+
+
+def pco2_water(temp, salt, tic, talk, po4=0.0, sio3=0.0, iters=50):
+    """Surface seawater pCO2 (ppmv): full carbonate system of
+    fennel.h:1938-2372 (pCO2_water), solved by fixed-count vectorized
+    bisection on total alkalinity balance (the DoNewton=0 default).
+
+    Check value (fennel.h:1953-1956): T=24, S=36.6, TIC=2040,
+    TAlk=2390, PO4=SiO3=0 -> pCO2 = 350.74945 ppmv."""
+    Tk = temp + 273.15
+    centiTk = 0.01 * Tk
+    invTk = 1.0 / Tk
+    logTk = jnp.log(Tk)
+    sqrtS = jnp.sqrt(salt)
+    SO4 = 19.924 * salt / (1000.0 - 1.005 * salt)
+    sqrtSO4 = jnp.sqrt(SO4)
+    scl = salt / 1.80655
+    alk = talk * 1.0e-6
+    dic = tic * 1.0e-6
+    phos = po4 * 1.0e-6
+    sili = sio3 * 1.0e-6
+
+    ff = jnp.exp(-162.8301 + 218.2968 / centiTk + jnp.log(centiTk) *
+                 90.9241 - centiTk * centiTk * 1.47696 +
+                 salt * (0.025695 - centiTk * (0.025225 -
+                                               centiTk * 0.0049867)))
+    K1 = 10.0 ** (62.008 - invTk * 3670.7 - logTk * 9.7944 +
+                  salt * (0.0118 - salt * 0.000116))
+    K2 = 10.0 ** (-4.777 - invTk * 1394.7 + salt * (0.0184 -
+                                                    salt * 0.000118))
+    Kb = jnp.exp(-invTk * (8966.90 + sqrtS * (2890.53 + sqrtS * (
+        77.942 - sqrtS * (1.728 - sqrtS * 0.0996)))) -
+        logTk * (24.4344 + sqrtS * (25.085 + sqrtS * 0.2474)) +
+        Tk * (sqrtS * 0.053105) + 148.0248 +
+        sqrtS * (137.1942 + sqrtS * 1.62142))
+    K1p = jnp.exp(115.525 - invTk * 4576.752 - logTk * 18.453 +
+                  sqrtS * (0.69171 - invTk * 106.736) -
+                  salt * (0.01844 + invTk * 0.65643))
+    K2p = jnp.exp(172.0883 - invTk * 8814.715 - logTk * 27.927 +
+                  sqrtS * (1.3566 - invTk * 160.340) -
+                  salt * (0.05778 - invTk * 0.37335))
+    K3p = jnp.exp(-18.141 - invTk * 3070.75 +
+                  sqrtS * (2.81197 + invTk * 17.27039) -
+                  salt * (0.09984 + invTk * 44.99486))
+    Ksi = jnp.exp(117.385 - invTk * 8904.2 - logTk * 19.334 +
+                  sqrtSO4 * (3.5913 - invTk * 458.79) -
+                  SO4 * (1.5998 - invTk * 188.74 -
+                         SO4 * (0.07871 - invTk * 12.1652)) +
+                  jnp.log(1.0 - 0.001005 * salt))
+    Kw = jnp.exp(148.9652 - invTk * 13847.26 - logTk * 23.6521 -
+                 sqrtS * (5.977 - invTk * 118.67 - logTk * 1.0495) -
+                 salt * 0.01615)
+    Ks = jnp.exp(141.328 - invTk * 4276.1 - logTk * 23.093 +
+                 sqrtSO4 * (324.57 - invTk * 13856.0 - logTk * 47.986 -
+                            SO4 * invTk * 2698.0) -
+                 SO4 * (771.54 - invTk * 35474.0 - logTk * 114.723 -
+                        SO4 * invTk * 1776.0) +
+                 jnp.log(1.0 - 0.001005 * salt))
+    Kf = jnp.exp(-12.641 + invTk * 1590.2 + sqrtSO4 * 1.525 +
+                 jnp.log(1.0 - 0.001005 * salt) +
+                 jnp.log(1.0 + 0.1400 * scl / (96.062 * Ks)))
+    borate = 0.000232 * scl / 10.811
+    sulfate = 0.14 * scl / 96.062
+    fluoride = 0.000067 * scl / 18.9984
+
+    K12 = K1 * K2
+    K12p = K1p * K2p
+    K123p = K12p * K3p
+    C = 1.0 / (1.0 + sulfate / Ks)
+
+    def f_of_x(X):
+        X2 = X * X
+        X3 = X2 * X
+        invX = 1.0 / X
+        A = X * (K12p + X * (K1p + X)) + K123p
+        B = X * (K1 + X) + K12
+        return (dic * (K1 * X + 2.0 * K12) / B +
+                borate / (1.0 + X / Kb) + Kw * invX +
+                phos * (K12p * X + 2.0 * K123p - X3) / A +
+                sili / (1.0 + X / Ksi) - X * C -
+                sulfate / (1.0 + Ks * invX * C) -
+                fluoride / (1.0 + Kf * invX) - alk)
+
+    # bisection on [10^-10, 10^-5] (pH 10..5); f decreases with X
+    x_lo = jnp.full_like(Tk, 1.0e-10)
+    x_hi = jnp.full_like(Tk, 1.0e-5)
+    f_hi = f_of_x(x_hi)
+    for _ in range(iters):
+        x_mid = 0.5 * (x_lo + x_hi)
+        f_mid = f_of_x(x_mid)
+        same = (f_hi * f_mid) > 0.0      # root in [lo, mid]
+        x_hi = jnp.where(same, x_mid, x_hi)
+        f_hi = jnp.where(same, f_mid, f_hi)
+        x_lo = jnp.where(same, x_lo, x_mid)
+    Ht = 0.5 * (x_lo + x_hi)
+    CO2star = dic * Ht * Ht / (Ht * Ht + K1 * Ht + K12)
+    return CO2star * 1.0e6 / ff, -jnp.log10(Ht)
+
+
+def fennel(cfg: Config, p: FennelParams, grid, t_old, t_new, Hz, z_w,
+           srflx, sustr=None, svstr=None, uwind=None, vwind=None):
+    """Fennel et al. (2006) BGC source/sink terms (fennel.h:683-1575).
+
+    cfg.ibio order: NO3, NH4, Chl, Phy, Zoo, LDeN, SDeN
+    [, PO4][, LDeC, SDeC, TIC, TAlk][, Oxy]  (fennel_mod.h:497-525).
+    temp/salt are tracers 0/1 of the full stack."""
+    idb = cfg.ibio
+    nexp = 7 + p.po4 + 4 * p.carbon + p.oxygen
+    if len(idb) != nexp:
+        raise ValueError(f"fennel: expected {nexp} bio tracers "
+                         f"(po4={p.po4} carbon={p.carbon} "
+                         f"oxygen={p.oxygen}), got {len(idb)}")
+    names = ["NO3", "NH4", "Chl", "Phy", "Zoo", "LDeN", "SDeN"]
+    if p.po4:
+        names += ["PO4"]
+    if p.carbon:
+        names += ["LDeC", "SDeC", "TIC", "TAlk"]
+    if p.oxygen:
+        names += ["Oxy"]
+    ix = {n: i for i, n in enumerate(names)}
+
+    dtd = cfg.dt / 86400.0 / max(1, p.BioIter)
+    temp = jnp.minimum(t_old[0], 35.0)
+    salt = jnp.maximum(t_old[1], 0.0) if cfg.ntracers >= 2 else \
+        jnp.zeros_like(temp)
+
+    bio = jnp.stack([jnp.maximum(0.0, t_old[i]) for i in idb])
+    if p.carbon:
+        bio = bio.at[ix["TIC"]].set(jnp.clip(bio[ix["TIC"]], 400.0,
+                                             3000.0))
+    bio_old = bio
+
+    if p.const_par is not None:
+        par_sur = jnp.full_like(temp[0], p.const_par)
+    else:
+        srf = srflx if srflx is not None else jnp.zeros_like(temp[0])
+        par_sur = p.PARfrac * srf * rho0 * Cp
+    day = par_sur > 0.0
+    Hz_inv = 1.0 / Hz
+    dz = z_w[1:] - z_w[:-1]
+    eps = _MINVAL
+
+    def get(n):
+        return bio[ix[n]]
+
+    for _ in range(max(1, p.BioIter)):
+        # ---- light + uptake + nitrification (fennel.h:685-882) ----
+        att = (p.AttSW + p.AttChl * get("Chl")) * dz
+        att_above = jnp.flip(jnp.cumsum(jnp.flip(att, 0), axis=0),
+                             0) - att
+        itop = par_sur[None] * jnp.exp(-att_above)
+        PAR = itop * (1.0 - jnp.exp(-att)) / jnp.maximum(att, 1e-20)
+
+        cffc = p.PhyCN * 12.0
+        Chl2C = jnp.minimum(get("Chl") / (get("Phy") * cffc + eps),
+                            p.Chl2C_m)
+        Vp = p.Vp0 * 0.59 * (1.066 ** temp)
+        fac1 = PAR * p.PhyIS
+        Epp = Vp / jnp.sqrt(Vp * Vp + fac1 * fac1)
+        t_PPmax = Epp * fac1
+
+        cff1 = get("NH4") * p.K_NH4
+        cff2 = get("NO3") * p.K_NO3
+        inhNH4 = 1.0 / (1.0 + cff1)
+        L_NH4 = cff1 / (1.0 + cff1)
+        L_NO3 = cff2 * inhNH4 / (1.0 + cff2)
+        LTOT = L_NO3 + L_NH4
+        if p.po4:
+            cff3 = get("PO4") * p.K_PO4
+            L_PO4 = cff3 / (1.0 + cff3)
+            LMIN = jnp.minimum(LTOT, L_PO4)
+            mu = dtd * t_PPmax * LMIN
+            cff4 = mu * get("Phy") * L_NO3 / jnp.maximum(eps, LTOT) / \
+                jnp.maximum(eps, get("NO3"))
+            cff5 = mu * get("Phy") * L_NH4 / jnp.maximum(eps, LTOT) / \
+                jnp.maximum(eps, get("NH4"))
+            cff6 = p.R_P2N * mu * get("Phy") / jnp.maximum(
+                eps, get("PO4"))
+            chl_fac = dtd * t_PPmax * t_PPmax * LMIN * LMIN
+        else:
+            facu = dtd * t_PPmax
+            cff4 = facu * p.K_NO3 * inhNH4 / (1.0 + cff2) * get("Phy")
+            cff5 = facu * p.K_NH4 / (1.0 + cff1) * get("Phy")
+            chl_fac = dtd * t_PPmax * t_PPmax * LTOT * LTOT
+        # daytime only: uptake happens under PAR>0 (night loop in the
+        # reference does nitrification only)
+        cff4 = jnp.where(day[None], cff4, 0.0)
+        cff5 = jnp.where(day[None], cff5, 0.0)
+        no3 = get("NO3") / (1.0 + cff4)
+        nh4 = get("NH4") / (1.0 + cff5)
+        N_new = no3 * cff4
+        N_reg = nh4 * cff5
+        bio = bio.at[ix["NO3"]].set(no3).at[ix["NH4"]].set(nh4)
+        if p.po4:
+            cff6 = jnp.where(day[None], cff6, 0.0)
+            bio = bio.at[ix["PO4"]].set(get("PO4") / (1.0 + cff6))
+        bio = bio.at[ix["Phy"]].add(N_new + N_reg)
+        chl_inc = jnp.where(
+            day[None],
+            chl_fac * p.Chl2C_m * get("Chl") /
+            (p.PhyIS * jnp.maximum(Chl2C, eps) * PAR + eps), 0.0)
+        bio = bio.at[ix["Chl"]].add(chl_inc)
+        if p.oxygen:
+            bio = bio.at[ix["Oxy"]].add(N_new * _rOxNO3 +
+                                        N_reg * _rOxNH4)
+        if p.carbon:
+            bio = bio.at[ix["TIC"]].add(-p.PhyCN * (N_new + N_reg))
+            if p.talk_nonconserv:
+                bio = bio.at[ix["TAlk"]].add(N_new - N_reg)
+
+        # nitrification, light-inhibited by day, max rate at night
+        # (fennel.h:812-882)
+        if p.oxygen:
+            fac2 = jnp.maximum(get("Oxy"), 0.0)
+            fac3 = fac2 / (3.0 + fac2)
+            fac1n = dtd * p.NitriR * fac3
+        else:
+            fac1n = dtd * p.NitriR
+        cffi = (PAR - p.I_thNH4) / (p.D_p5NH4 + PAR - 2.0 * p.I_thNH4)
+        inhib = 1.0 - jnp.maximum(0.0, cffi)
+        cff3n = jnp.where(day[None], fac1n * inhib, dtd * p.NitriR)
+        nh4 = get("NH4") / (1.0 + cff3n)
+        N_nit = nh4 * cff3n
+        bio = bio.at[ix["NH4"]].set(nh4).at[ix["NO3"]].add(N_nit)
+        if p.oxygen:
+            bio = bio.at[ix["Oxy"]].add(-2.0 * N_nit)
+        if p.carbon and p.talk_nonconserv:
+            bio = bio.at[ix["TAlk"]].add(-2.0 * N_nit)
+
+        # ---- grazing / P mortality (fennel.h:884-928) ----
+        cff1 = dtd * p.ZooGR * get("Zoo") * get("Phy") / \
+            (p.K_Phy + get("Phy") ** 2)
+        cff3 = 1.0 / (1.0 + cff1)
+        phy = cff3 * get("Phy")
+        chl = cff3 * get("Chl")
+        N_assim = cff1 * phy * p.ZooAE_N
+        N_egest = cff1 * phy * (1.0 - p.ZooAE_N)
+        cff2 = dtd * p.PhyMR
+        N_pmort = cff2 * jnp.maximum(phy - p.PhyMin, 0.0)
+        bio = (bio.at[ix["Phy"]].set(phy - N_pmort)
+               .at[ix["Chl"]].set(
+                   chl - cff2 * jnp.maximum(chl - p.ChlMin, 0.0))
+               .at[ix["Zoo"]].add(N_assim)
+               .at[ix["SDeN"]].add(N_egest + N_pmort))
+        if p.carbon:
+            bio = bio.at[ix["SDeC"]].add(
+                p.PhyCN * (N_egest + N_pmort) +
+                (p.PhyCN - p.ZooCN) * N_assim)
+
+        # ---- Z metabolism/mortality/excretion (fennel.h:930-981) ----
+        fac1z = dtd * p.ZooER * get("Phy") ** 2 / \
+            (p.K_Phy + get("Phy") ** 2)
+        cff2 = dtd * p.ZooMR * get("Zoo")
+        cff3 = fac1z * p.ZooAE_N
+        zoo = get("Zoo") / (1.0 + cff2 + cff3)
+        N_zmort = cff2 * zoo
+        N_zexc = cff3 * zoo
+        cff1 = dtd * p.ZooBM
+        N_zmet = cff1 * jnp.maximum(zoo - p.ZooMin, 0.0)
+        bio = (bio.at[ix["Zoo"]].set(zoo - N_zmet)
+               .at[ix["NH4"]].add(N_zexc + N_zmet)
+               .at[ix["SDeN"]].add(N_zmort))
+        if p.po4:
+            bio = bio.at[ix["PO4"]].add(p.R_P2N * (N_zexc + N_zmet))
+        if p.oxygen:
+            bio = bio.at[ix["Oxy"]].add(-_rOxNH4 * (N_zmet + N_zexc))
+        if p.carbon:
+            bio = bio.at[ix["SDeC"]].add(p.ZooCN * N_zmort)
+            bio = bio.at[ix["TIC"]].add(p.ZooCN * (N_zmet + N_zexc))
+            if p.talk_nonconserv:
+                bio = bio.at[ix["TAlk"]].add(N_zmet + N_zexc)
+
+        # ---- coagulation (fennel.h:983-1007) ----
+        cff1 = dtd * p.CoagR * (get("SDeN") + get("Phy"))
+        cff2 = 1.0 / (1.0 + cff1)
+        phy = get("Phy") * cff2
+        chl = get("Chl") * cff2
+        sde = get("SDeN") * cff2
+        N_coagP = phy * cff1
+        N_coagD = sde * cff1
+        bio = (bio.at[ix["Phy"]].set(phy).at[ix["Chl"]].set(chl)
+               .at[ix["SDeN"]].set(sde)
+               .at[ix["LDeN"]].add(N_coagP + N_coagD))
+        if p.carbon:
+            bio = (bio.at[ix["SDeC"]].add(-p.PhyCN * N_coagD)
+                   .at[ix["LDeC"]].add(p.PhyCN * (N_coagP + N_coagD)))
+
+        # ---- detritus remineralization (fennel.h:1009-1092) ----
+        if p.oxygen:
+            fac1r = jnp.maximum(get("Oxy") - 6.0, 0.0)
+            fac2r = fac1r / (3.0 + fac1r)
+        else:
+            fac2r = 1.0
+        cff1 = dtd * p.SDeRRN * fac2r
+        cff3 = dtd * p.LDeRRN * fac2r
+        sde = get("SDeN") / (1.0 + cff1)
+        lde = get("LDeN") / (1.0 + cff3)
+        N_rem = sde * cff1 + lde * cff3
+        bio = (bio.at[ix["SDeN"]].set(sde).at[ix["LDeN"]].set(lde)
+               .at[ix["NH4"]].add(N_rem))
+        if p.po4:
+            bio = bio.at[ix["PO4"]].add(p.R_P2N * N_rem)
+        if p.oxygen:
+            bio = bio.at[ix["Oxy"]].add(-N_rem * _rOxNH4)
+        if p.carbon and p.talk_nonconserv:
+            bio = bio.at[ix["TAlk"]].add(N_rem)
+
+        # ---- surface gas exchange (fennel.h:1095-1283) ----
+        if p.oxygen or p.carbon:
+            if uwind is not None and vwind is not None:
+                u10sq = uwind ** 2 + vwind ** 2
+            else:
+                su = sustr if sustr is not None else jnp.zeros_like(
+                    temp[0])
+                sv = svstr if svstr is not None else jnp.zeros_like(
+                    temp[0])
+                u10sq = rho0 * 550.0 * jnp.sqrt(su ** 2 + sv ** 2)
+            cffg = dtd * 0.31 * 24.0 / 100.0
+            ts = temp[-1]
+            ss = salt[-1]
+        if p.oxygen:
+            SchmO = _A_O2 - ts * (_B_O2 - ts * (_C_O2 - ts * (
+                _D_O2 - ts * _E_O2)))
+            kvO = cffg * u10sq * jnp.sqrt(660.0 / SchmO)
+            O2sat = o2_saturation(ts, ss)
+            o2flux = kvO * (O2sat - get("Oxy")[-1])
+            bio = bio.at[ix["Oxy"], -1].add(o2flux * Hz_inv[-1])
+        if p.carbon:
+            cff1 = dtd * p.SDeRRC
+            cff3 = dtd * p.LDeRRC
+            sdc = get("SDeC") / (1.0 + cff1)
+            ldc = get("LDeC") / (1.0 + cff3)
+            bio = (bio.at[ix["SDeC"]].set(sdc).at[ix["LDeC"]].set(ldc)
+                   .at[ix["TIC"]].add(sdc * cff1 + ldc * cff3))
+            if not p.talk_nonconserv:
+                # diagnostic alkalinity (Brewer et al. 1986; h:1186)
+                bio = bio.at[ix["TAlk"]].set(587.05 + 50.56 * salt)
+            SchmC = _A_CO2 - ts * (_B_CO2 - ts * (_C_CO2 - ts * (
+                _D_CO2 - ts * _E_CO2)))
+            kvC = cffg * u10sq * jnp.sqrt(660.0 / SchmC)
+            pco2, _ = pco2_water(ts, ss, get("TIC")[-1],
+                                 get("TAlk")[-1])
+            a1, a2, a3, b1, b2, b3 = _CO2SOL
+            TempK = 0.01 * (ts + 273.15)
+            co2sol = jnp.exp(a1 + a2 / TempK + a3 * jnp.log(TempK) +
+                             ss * (b1 + TempK * (b2 + b3 * TempK)))
+            co2flux = kvC * co2sol * (p.pCO2air - pco2)
+            bio = bio.at[ix["TIC"], -1].add(co2flux * Hz_inv[-1])
+
+        # ---- sinking (fennel.h:1286-1462) + BIO_SEDIMENT ----
+        sinkers = [("Phy", p.wPhy), ("Chl", p.wPhy),
+                   ("SDeN", p.wSDet), ("LDeN", p.wLDet)]
+        if p.carbon:
+            sinkers += [("SDeC", p.wSDet), ("LDeC", p.wLDet)]
+        for (name, w) in sinkers:
+            if w == 0.0:
+                continue
+            sunk, fc0 = ppm_sink(get(name), Hz, z_w, dtd * abs(w))
+            bio = bio.at[ix[name]].set(sunk)
+            if p.bio_sediment:
+                cffb = fc0 * Hz_inv[0]
+                if name in ("Phy", "SDeN", "LDeN"):
+                    if p.denitrification:
+                        bio = bio.at[ix["NH4"], 0].add(
+                            cffb * 4.0 / 16.0)
+                        if p.oxygen:
+                            bio = bio.at[ix["Oxy"], 0].add(
+                                -cffb * 115.0 / 16.0)
+                    else:
+                        bio = bio.at[ix["NH4"], 0].add(cffb)
+                        if p.oxygen:
+                            bio = bio.at[ix["Oxy"], 0].add(
+                                -cffb * 106.0 / 16.0)
+                        if p.carbon and p.talk_nonconserv:
+                            bio = bio.at[ix["TAlk"], 0].add(cffb)
+                    if p.po4:
+                        bio = bio.at[ix["PO4"], 0].add(cffb * p.R_P2N)
+                if p.carbon and name in ("SDeC", "LDeC"):
+                    bio = bio.at[ix["TIC"], 0].add(cffb)
+                if p.carbon and name == "Phy":
+                    bio = bio.at[ix["TIC"], 0].add(cffb * p.PhyCN)
+
+    if p.carbon:
+        bio = bio.at[ix["TIC"]].set(jnp.clip(bio[ix["TIC"]], 400.0,
+                                             3000.0))
+    incr = bio - bio_old
+    rmask = getattr(grid, "rmask", None)
+    if rmask is not None:
+        incr = incr * rmask[None, None]
+    for n, i in enumerate(idb):
+        t_new = t_new.at[i].add(incr[n])
+    return t_new

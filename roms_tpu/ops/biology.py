@@ -232,9 +232,25 @@ def npzd_powell(cfg: Config, p: NPZDParams, t_old, t_new, Hz, z_w, srflx):
     return t_new
 
 
-def apply_biology(cfg: Config, grid, t_old, t_new, Hz, z_w, srflx):
+def apply_biology(cfg: Config, grid, t_old, t_new, Hz, z_w, srflx,
+                  z_r=None, sustr=None, svstr=None,
+                  uwind=None, vwind=None):
     """Dispatch on cfg.biology (biology.F plugin slot)."""
     if cfg.biology == "npzd_powell":
         p = cfg.bio_params or NPZDParams()
         return npzd_powell(cfg, p, t_old, t_new, Hz, z_w, srflx)
+    if cfg.biology == "npzd_franks":
+        from .bio_models import npzd_franks, FranksParams
+        p = cfg.bio_params or FranksParams()
+        return npzd_franks(cfg, p, t_old, t_new, Hz, z_w, z_r, srflx)
+    if cfg.biology == "npzd_iron":
+        from .bio_models import npzd_iron, IronParams
+        p = cfg.bio_params or IronParams()
+        return npzd_iron(cfg, p, grid, t_old, t_new, Hz, z_w, srflx)
+    if cfg.biology == "fennel":
+        from .bio_models import fennel, FennelParams
+        p = cfg.bio_params or FennelParams()
+        return fennel(cfg, p, grid, t_old, t_new, Hz, z_w, srflx,
+                      sustr=sustr, svstr=svstr, uwind=uwind,
+                      vwind=vwind)
     raise ValueError(f"unknown biology model {cfg.biology!r}")

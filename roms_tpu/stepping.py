@@ -254,7 +254,10 @@ def step(cfg: Config, grid: Grid, state: State,
     # --- biological source/sink terms (main3d.F biology call) ---
     if cfg.biology is not None:
         from .ops.biology import apply_biology
-        t2 = apply_biology(cfg, grid, state.t, t2, Hz2, z_w2, srflx)
+        t2 = apply_biology(cfg, grid, state.t, t2, Hz2, z_w2, srflx,
+                           z_r=z_r2, sustr=sustr, svstr=svstr,
+                           uwind=frc.get("Uwind", None),
+                           vwind=frc.get("Vwind", None))
 
     # --- sediment settling/erosion/bed exchange (main3d.F sediment
     #     call; Sediment/sediment.F driver) ---

@@ -1,0 +1,177 @@
+"""Franks/iron NPZD and Fennel BGC: stage conservation laws, carbonate
+chemistry check value, gas exchange direction, end-to-end dispatch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from roms_tpu.ops.bio_models import (FranksParams, IronParams,
+                                     FennelParams, npzd_franks,
+                                     npzd_iron, fennel, pco2_water,
+                                     o2_saturation)
+from roms_tpu.models import bio_toy
+from roms_tpu import stepping
+
+
+def _column(N=12, Ny=3, Nx=4, depth=50.0):
+    z_w = jnp.linspace(-depth, 0.0, N + 1)[:, None, None] * \
+        jnp.ones((1, Ny, Nx))
+    Hz = z_w[1:] - z_w[:-1]
+    z_r = 0.5 * (z_w[1:] + z_w[:-1])
+    return Hz, z_w, z_r
+
+
+class _G:
+    rmask = None
+    h = None
+
+
+def _mkcfg(nbio, dt=3600.0):
+    cfg = bio_toy.make_config(Lm=4, Mm=3, N=12)
+    return cfg.replace(ntracers=2 + nbio,
+                       ibio=tuple(range(2, 2 + nbio)),
+                       t_hadv=(2 + nbio) * ("U3",),
+                       t_vadv=(2 + nbio) * ("C4",),
+                       tnu2=(2 + nbio) * (0.0,), dt=dt)
+
+
+def _stack(vals, N=12, Ny=3, Nx=4):
+    return jnp.stack([jnp.full((N, Ny, Nx), v) for v in vals])
+
+
+def test_pco2_check_value():
+    # fennel.h:1953-1956 check value for pCO2_water (DoNewton=0)
+    pco2, ph = pco2_water(jnp.array([24.0]), jnp.array([36.6]),
+                          jnp.array([2040.0]), jnp.array([2390.0]))
+    # the quoted value is itself a 30-iteration bisection result, so
+    # agreement is limited by its own resolution (~1e-5 relative)
+    np.testing.assert_allclose(float(pco2[0]), 350.74945, rtol=1e-4)
+    assert 7.5 < float(ph[0]) < 8.5
+
+
+def test_o2_saturation_range():
+    # Garcia & Gordon: ~225 mmol/m3 at T=20,S=35; more soluble when cold
+    o20 = float(o2_saturation(jnp.array(20.0), jnp.array(35.0)))
+    o25 = float(o2_saturation(jnp.array(5.0), jnp.array(35.0)))
+    assert 200.0 < o20 < 250.0
+    assert o25 > o20
+
+
+def test_franks_conservation_and_bloom():
+    cfg = _mkcfg(4)
+    p = FranksParams(wDet=0.0)
+    Hz, z_w, z_r = _column()
+    t = jnp.concatenate([_stack([20.0, 35.0]),
+                         _stack([1.67, 0.08, 0.06, 0.04])])
+    t_new = jax.jit(lambda t: npzd_franks(cfg, p, t, t, Hz, z_w, z_r))(t)
+    tot0 = sum(float((t[i] * Hz).sum()) for i in cfg.ibio)
+    tot1 = sum(float((t_new[i] * Hz).sum()) for i in cfg.ibio)
+    np.testing.assert_allclose(tot1, 2 * tot0 - tot0, rtol=1e-12)
+    # uptake strongest at the surface: P grows, NO3 shrinks
+    assert float(t_new[3][-1, 0, 0]) > 2 * 0.08 - 0.08
+    assert float(t_new[2][-1, 0, 0]) < 2 * 1.67 - 1.67
+
+
+def test_iron_conservation():
+    cfg = _mkcfg(6)
+    # FeRR=1: every Fe release is complete -> total Fe conserved too
+    p = IronParams(wPhy=0.0, wDet=0.0, FeRR=1.0, const_par=158.075)
+    Hz, z_w, _ = _column()
+    g = _G()
+    t = jnp.concatenate([_stack([20.0, 35.0]),
+                         _stack([17.0, 1.0, 1.0, 1.0, 0.06, 0.01])])
+    t_new = jax.jit(lambda t: npzd_iron(cfg, p, g, t, t, Hz, z_w,
+                                        None))(t)
+    incr = {i: t_new[i] - t[i] for i in cfg.ibio}
+    totN = float(sum((incr[i] * Hz).sum() for i in cfg.ibio[:4]))
+    totFe = float(sum((incr[i] * Hz).sum() for i in cfg.ibio[4:]))
+    np.testing.assert_allclose(totN, 0.0, atol=1e-10)
+    np.testing.assert_allclose(totFe, 0.0, atol=1e-12)
+    # iron limitation throttles uptake: with more phytoplankton iron
+    # (higher Fe:C ratio) the bloom is stronger
+    t_rich = t.at[7].set(0.5)        # Fphy
+    t_new_rich = npzd_iron(cfg, p, g, t_rich, t_rich, Hz, z_w, None)
+    growth_poor = float((t_new[3] - t[3])[-1, 0, 0])
+    growth_rich = float((t_new_rich[3] - t_rich[3])[-1, 0, 0])
+    assert growth_rich > growth_poor
+
+
+@pytest.mark.parametrize("denit", [False, True])
+def test_fennel_nitrogen_budget(denit):
+    # 7-compartment core; BIO_SEDIMENT returns seabed flux to NH4, so
+    # N is conserved exactly without DENITRIFICATION and lost with it
+    cfg = _mkcfg(7)
+    p = FennelParams(denitrification=denit, bio_sediment=True,
+                     const_par=158.075, wPhy=5.0, wSDet=5.0, wLDet=20.0)
+    Hz, z_w, _ = _column()
+    g = _G()
+    t = jnp.concatenate([_stack([20.0, 35.0]),
+                         _stack([10.0, 1.0, 0.5, 1.0, 0.5, 0.5, 0.5])])
+    t_new = jax.jit(lambda t: fennel(cfg, p, g, t, t, Hz, z_w, None))(t)
+    # nitrogen compartments: NO3,NH4,Phy,Zoo,LDeN,SDeN (Chl is pigment)
+    iN = [cfg.ibio[i] for i in (0, 1, 3, 4, 5, 6)]
+    dN = float(sum(((t_new[i] - t[i]) * Hz).sum() for i in iN))
+    if denit:
+        assert dN < -1e-8            # denitrification removes N
+    else:
+        np.testing.assert_allclose(dN, 0.0, atol=1e-9)
+    assert np.isfinite(np.asarray(t_new)).all()
+
+
+def test_fennel_oxygen_carbon():
+    cfg = _mkcfg(12)
+    p = FennelParams(oxygen=True, carbon=True, const_par=158.075)
+    Hz, z_w, _ = _column()
+    g = _G()
+    # start undersaturated in O2 and supersaturated in CO2
+    t = jnp.concatenate([
+        _stack([20.0, 35.0]),
+        _stack([10.0, 1.0, 0.5, 1.0, 0.5, 0.5, 0.5,   # N core
+                0.5, 0.5, 2300.0, 2300.0,             # LDeC,SDeC,TIC,TAlk
+                100.0])])                             # Oxy (undersat)
+    zero2 = jnp.zeros_like(t[0, 0])
+    t_new = jax.jit(lambda t: fennel(
+        cfg, p, g, t, t, Hz, z_w, None,
+        uwind=zero2 + 5.0, vwind=zero2))(t)
+    iOxy, iTIC = cfg.ibio[11], cfg.ibio[9]
+    # O2 influx at the surface (undersaturated)
+    assert float((t_new[iOxy] - t[iOxy])[-1, 0, 0]) > 0.0
+    # high-TIC water outgasses CO2 (pCO2 > pCO2air=370)
+    pco2, _ = pco2_water(t[0, -1], t[1, -1], t[iTIC, -1],
+                         t[cfg.ibio[10], -1])
+    assert float(pco2[0, 0]) > 370.0
+    assert float((t_new[iTIC] - t[iTIC])[-1, 0, 0]) < \
+        float((t_new[iTIC] - t[iTIC])[-2, 0, 0]) + 1e-12
+    assert np.isfinite(np.asarray(t_new)).all()
+
+
+def test_fennel_end_to_end_step():
+    # dispatch through stepping.step: fennel core on the bio_toy grid
+    cfg = bio_toy.make_config(Lm=6, Mm=8, N=10)
+    p = FennelParams(const_par=158.075)
+    cfg = cfg.replace(biology="fennel", bio_params=p, ntracers=9,
+                      ibio=tuple(range(2, 9)),
+                      t_hadv=9 * ("U3",), t_vadv=9 * ("C4",),
+                      tnu2=9 * (0.0,))
+    cfg, grid, s_uw, ffn = bio_toy.build(cfg.replace(
+        biology=None, bio_params=None, ntracers=6, ibio=(2, 3, 4, 5),
+        t_hadv=6 * ("U3",), t_vadv=6 * ("C4",), tnu2=6 * (0.0,)))
+    # swap the Powell setup for fennel: 7 bio tracers
+    cfg = cfg.replace(biology="fennel", bio_params=p, ntracers=9,
+                      ibio=tuple(range(2, 9)),
+                      t_hadv=9 * ("U3",), t_vadv=9 * ("C4",),
+                      tnu2=9 * (0.0,))
+    ini = (10.0, 0.5, 0.1, 0.5, 0.3, 0.1, 0.1)
+    bio = jnp.stack([jnp.full_like(s_uw.t[0], v) for v in ini])
+    t = jnp.concatenate([s_uw.t[:2], bio], axis=0)
+    from roms_tpu.state import initial_state
+    s0 = initial_state(cfg, zeta=s_uw.zeta, t=t)
+    step = stepping.make_stepper(cfg, grid, ffn, donate=False)
+    s = s0
+    for _ in range(5):
+        s = step(s)
+    assert np.isfinite(np.asarray(s.t)).all()
+    H = cfg.halo
+    # bloom: phytoplankton grows under constant PAR
+    assert float(s.t[5][-1, H + 4, H + 3]) > ini[3]
