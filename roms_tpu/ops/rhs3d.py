@@ -20,17 +20,31 @@ GADV = -0.25
 
 
 def rhs3d_momentum(cfg: Config, grid: Grid, u, v, Huon, Hvom, W, Hz,
-                   ru, rv, sustr, svstr, bustr, bvstr, clm=None):
+                   ru, rv, sustr, svstr, bustr, bvstr, clm=None,
+                   want_diags: bool = False):
+    """want_diags (DIAGNOSTICS_UV; mod_diags.F DiaRU/DiaRV): also return a
+    dict of the per-term rhs contributions (same units as ru/rv) with keys
+    cor/xadv/yadv/vadv, each an (N,Ny,Nx) pair (term_u, term_v).  The
+    curvilinear metric terms are folded into cor (the reference spreads
+    them over M3xadv/M3yadv; documented delta)."""
     H = cfg.halo
     L, M = cfg.Lm, cfg.Mm
+    dia = {} if want_diags else None
+
+    def _rec(key, term_u, term_v):
+        if want_diags:
+            dia[key] = (term_u, term_v)
 
     # ---- Coriolis (rhs3d.F:181-207) ----
+    cor_u = cor_v = 0.0
     if cfg.uv_cor:
         cor = 0.5 * Hz * grid.fomn
         UFx = cor * (v + jp1(v))
         VFe = cor * (u + ip1(u))
-        ru = ru + 0.5 * (UFx + im1(UFx))
-        rv = rv - 0.5 * (VFe + jm1(VFe))
+        cor_u = 0.5 * (UFx + im1(UFx))
+        cor_v = -0.5 * (VFe + jm1(VFe))
+        ru = ru + cor_u
+        rv = rv + cor_v
 
     # ---- curvilinear metric advection terms (rhs3d.F CURVGRID) ----
     if cfg.curvgrid and cfg.uv_adv:
@@ -38,8 +52,15 @@ def rhs3d_momentum(cfg: Config, grid: Grid, u, v, Huon, Hvom, W, Hz,
             0.5 * (u + ip1(u)) * grid.dmde
         cff_u = Hz * cff * 0.5 * (u + ip1(u))
         cff_v = Hz * cff * 0.5 * (v + jp1(v))
-        ru = ru + 0.5 * (cff_v + im1(cff_v))
-        rv = rv - 0.5 * (cff_u + jm1(cff_u))
+        curv_u = 0.5 * (cff_v + im1(cff_v))
+        curv_v = -0.5 * (cff_u + jm1(cff_u))
+        ru = ru + curv_u
+        rv = rv + curv_v
+        cor_u = cor_u + curv_u
+        cor_v = cor_v + curv_v
+    if want_diags:
+        zero3 = jnp.zeros_like(ru)
+        _rec("cor", cor_u + zero3, cor_v + jnp.zeros_like(rv))
 
     if cfg.uv_adv:
         # ---- U3 horizontal advection (rhs3d.F:244-430) ----
@@ -85,8 +106,14 @@ def rhs3d_momentum(cfg: Config, grid: Grid, u, v, Huon, Hvom, W, Hz,
         VFe = 0.25 * (cff1 + GADV * cup) * (
             Hvom + jp1(Hvom) + GADV * 0.5 * (Hvee + jp1(Hvee)))
 
-        ru = ru - (UFx - im1(UFx)) - (jp1(UFe) - UFe)
-        rv = rv - (ip1(VFx) - VFx) - (VFe - jm1(VFe))
+        xadv_u = -(UFx - im1(UFx))
+        yadv_u = -(jp1(UFe) - UFe)
+        xadv_v = -(ip1(VFx) - VFx)
+        yadv_v = -(VFe - jm1(VFe))
+        _rec("xadv", xadv_u, xadv_v)
+        _rec("yadv", yadv_u, yadv_v)
+        ru = ru + xadv_u + yadv_u
+        rv = rv + xadv_v + yadv_v
 
         # ---- 4th-order vertical advection (rhs3d.F:433-520) ----
         c1, c2 = 9.0 / 16.0, 1.0 / 16.0
@@ -101,7 +128,8 @@ def rhs3d_momentum(cfg: Config, grid: Grid, u, v, Huon, Hvom, W, Hz,
                  c2 * (u[N - 3] + u[N - 1])) * Wu[N - 1])[None]
         zero = jnp.zeros_like(f1)
         FCu = jnp.concatenate([zero, f1, flux_int, fNm1, zero], axis=0)
-        ru = ru - (FCu[1:] - FCu[:-1])
+        vadv_u = -(FCu[1:] - FCu[:-1])
+        ru = ru + vadv_u
 
         Wv = c1 * (W + jm1(W)) - c2 * (jp1(W) + shift2s(W))
         flux_int = (c1 * (v[1:-2] + v[2:-1]) - c2 * (v[:-3] + v[3:])) * \
@@ -110,7 +138,14 @@ def rhs3d_momentum(cfg: Config, grid: Grid, u, v, Huon, Hvom, W, Hz,
         fNm1 = ((c1 * (v[N - 2] + v[N - 1]) -
                  c2 * (v[N - 3] + v[N - 1])) * Wv[N - 1])[None]
         FCv = jnp.concatenate([zero, f1, flux_int, fNm1, zero], axis=0)
-        rv = rv - (FCv[1:] - FCv[:-1])
+        vadv_v = -(FCv[1:] - FCv[:-1])
+        rv = rv + vadv_v
+        _rec("vadv", vadv_u, vadv_v)
+    elif want_diags:
+        zero3 = jnp.zeros_like(ru)
+        zero3v = jnp.zeros_like(rv)
+        for key in ("xadv", "yadv", "vadv"):
+            _rec(key, zero3, zero3v)
 
     # ---- nudging toward 3-D momentum climatology (rhs3d.F:211-241) ----
     if clm is not None and "uclm" in clm:
@@ -123,6 +158,8 @@ def rhs3d_momentum(cfg: Config, grid: Grid, u, v, Huon, Hvom, W, Hz,
     # ---- vertical integral -> barotropic forcing (rhs3d.F:523-559) ----
     rufrc = jnp.sum(ru, axis=0) + (sustr - bustr) * grid.om_u * grid.on_u
     rvfrc = jnp.sum(rv, axis=0) + (svstr - bvstr) * grid.om_v * grid.on_v
+    if want_diags:
+        return ru, rv, rufrc, rvfrc, dia
     return ru, rv, rufrc, rvfrc
 
 

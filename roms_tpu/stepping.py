@@ -38,10 +38,19 @@ def step(cfg: Config, grid: Grid, state: State,
     btflux ((NT,Ny,Nx) surface/bottom tracer fluxes); the analytic-forcing
     analog of get_data/set_data + ana_smflux/ana_stflux.
 
-    collect_diags (DIAGNOSTICS_TS; mod_diags.F DiaTrc): additionally
-    return the per-step tracer budget terms dict with keys
-    xadv/yadv/vadv/vdiff (from step3d_t), hdiff (t3dmix), rate
-    (total t change) - concentration increments per step."""
+    collect_diags (DIAGNOSTICS_TS + DIAGNOSTICS_UV; mod_diags.F
+    DiaTrc/DiaRU/DiaRV): additionally return the per-step budget dict.
+    Tracer keys xadv/yadv/vadv/vdiff (from step3d_t), hdiff (t3dmix),
+    rate (total t change) - concentration increments per step.  Momentum
+    keys u_/v_ x {prestep, prsgrd, cor, xadv, yadv, vadv, hvisc, vvisc,
+    rate} - velocity increments per step (m/s) at u/v points, with exact
+    closure rate = sum(terms).  Deltas vs the reference's accumulation
+    (documented): terms use the current-step AB3-weighted rhs (the
+    reference spreads each physical term over its 3-step AB3 history);
+    pre_step3d's LF/AM3 predictor contribution is one explicit "prestep"
+    bucket; "vvisc" is the closure remainder (implicit vertical
+    viscosity + barotropic-mean replacement + lateral BCs + masking +
+    clm nudging), the reference's M3vvis analog."""
     hc = hc_of(cfg)
     dtype = state.zeta.dtype
     zero2 = jnp.zeros_like(state.zeta)
@@ -165,9 +174,15 @@ def step(cfg: Config, grid: Grid, state: State,
             t_nnew = t3dmix4(cfg, grid, state.t, Hz, t_nnew, cfg.dt)
 
     clm = frc.get("clm", None)
-    ru, rv, rufrc, rvfrc = rhs3d_momentum(
+    ru_prs, rv_prs = (ru, rv) if collect_diags else (None, None)
+    uv_nnew_pre = (u_nnew, v_nnew) if collect_diags else None
+    res3d = rhs3d_momentum(
         cfg, grid, state.u, state.v, Huon, Hvom, W, Hz, ru, rv,
-        sustr, svstr, bustr, bvstr, clm=clm)
+        sustr, svstr, bustr, bvstr, clm=clm, want_diags=collect_diags)
+    if collect_diags:
+        ru, rv, rufrc, rvfrc, dia_rhs = res3d
+    else:
+        ru, rv, rufrc, rvfrc = res3d
 
     if cfg.uv_vis2 and cfg.visc2 != 0.0:
         if cfg.uv_mix_geo:
@@ -225,6 +240,38 @@ def step(cfg: Config, grid: Grid, state: State,
         # the stored AB3 rhs history is limited too (step3d_uv.F:563)
         ru = ru * wet["umask_wet"]
         rv = rv * wet["vmask_wet"]
+
+    if collect_diags:
+        # --- DIAGNOSTICS_UV increments (see docstring for the term
+        #     definitions and documented deltas vs mod_diags.F) ---
+        from .ops.stencil import im1, jm1
+        ab3 = jnp.where(state.iic == 0, 1.0,
+                        jnp.where(state.iic == 1, 1.5, 23.0 / 12.0))
+        ab3 = ab3.astype(dtype)
+        pm, pn = grid.pm, grid.pn
+        DC0u = 0.25 * cfg.dt * ab3 * (pm + im1(pm)) * (pn + im1(pn))
+        DC0v = 0.25 * cfg.dt * ab3 * (pm + jm1(pm)) * (pn + jm1(pn))
+        oHz_u = 1.0 / (0.5 * (Hz2 + im1(Hz2)))
+        oHz_v = 1.0 / (0.5 * (Hz2 + jm1(Hz2)))
+        dia_uv = {}
+        u_nnew_pre, v_nnew_pre = uv_nnew_pre
+        dia_uv["u_prestep"] = u_nnew_pre * oHz_u - state.u
+        dia_uv["v_prestep"] = v_nnew_pre * oHz_v - state.v
+        dia_uv["u_hvisc"] = (u_nnew - u_nnew_pre) * oHz_u
+        dia_uv["v_hvisc"] = (v_nnew - v_nnew_pre) * oHz_v
+        dia_uv["u_prsgrd"] = DC0u * ru_prs * oHz_u
+        dia_uv["v_prsgrd"] = DC0v * rv_prs * oHz_v
+        for key, (tu, tv) in dia_rhs.items():
+            dia_uv["u_" + key] = DC0u * tu * oHz_u
+            dia_uv["v_" + key] = DC0v * tv * oHz_v
+        dia_uv["u_rate"] = u2 - state.u
+        dia_uv["v_rate"] = v2 - state.v
+        dia_uv["u_vvisc"] = dia_uv["u_rate"] - sum(
+            dia_uv["u_" + k] for k in
+            ("prestep", "hvisc", "prsgrd", "cor", "xadv", "yadv", "vadv"))
+        dia_uv["v_vvisc"] = dia_uv["v_rate"] - sum(
+            dia_uv["v_" + k] for k in
+            ("prestep", "hvisc", "prsgrd", "cor", "xadv", "yadv", "vadv"))
 
     # --- omega with corrected fluxes (main3d.F:789) ---
     W2 = omega(cfg, grid, Huon2, Hvom2, z_w2)
@@ -288,6 +335,7 @@ def step(cfg: Config, grid: Grid, state: State,
         rheight=rheight, rlength=rlength, tau_cwmax=tau_cwmax)
     if collect_diags:
         dia_ts["rate"] = new_state.t - state.t
+        dia_ts.update(dia_uv)
         return new_state, dia_ts
     return new_state
 
