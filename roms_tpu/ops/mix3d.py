@@ -147,10 +147,25 @@ def uv3dmix4(cfg: Config, grid: Grid, u, v, Hz, u_nnew, v_nnew,
     du, dv = harmonic(u, v, None)
     LapU = 0.25 * (im1(pm) + pm) * (im1(pn) + pn) * du
     LapV = 0.25 * (jm1(pm) + pm) * (jm1(pn) + pn) * dv
+    LapU, LapV = _lapuv_bc(cfg, LapU, LapV)
+
+    # second pass (with Hz): flux divergence of the Laplacian
+    du, dv = harmonic(LapU, LapV, Hz)
+    cffu = dt * 0.25 * (im1(pm) + pm) * (im1(pn) + pn)
+    cffv = dt * 0.25 * (jm1(pm) + pm) * (jm1(pn) + pn)
+    rufrc = rufrc - jnp.sum(du, axis=0)
+    u_nnew = u_nnew - cffu * du
+    rvfrc = rvfrc - jnp.sum(dv, axis=0)
+    v_nnew = v_nnew - cffv * dv
+    return u_nnew, v_nnew, rufrc, rvfrc
+
+
+def _lapuv_bc(cfg: Config, LapU, LapV):
+    """Lateral closure of the first-pass momentum Laplacian (closed: 0 at
+    the normal face, gamma2-slip tangential; uv3dmix4_s.h:233-330 /
+    uv3dmix4_geo.h:805-960) + halo fill."""
     H = cfg.halo
     L, M = cfg.Lm, cfg.Mm
-    # boundary conditions on the Laplacian (closed: 0 at normal face,
-    # gamma2-slip tangential; uv3dmix4_s.h:233-330)
     from ..config import BC_CLOSED
     if not cfg.ew_periodic:
         if cfg.lbc_u.west == BC_CLOSED:
@@ -179,18 +194,7 @@ def uv3dmix4(cfg: Config, grid: Grid, u, v, Hz, u_nnew, v_nnew,
             LapV = LapV.at[:, H + M, :].set(LapV[:, H + M - 1, :])
             LapU = LapU.at[:, H + M, :].set(0.0)
     from . import bc as _bc
-    LapU = _bc.fill_halo(cfg, LapU)
-    LapV = _bc.fill_halo(cfg, LapV)
-
-    # second pass (with Hz): flux divergence of the Laplacian
-    du, dv = harmonic(LapU, LapV, Hz)
-    cffu = dt * 0.25 * (im1(pm) + pm) * (im1(pn) + pn)
-    cffv = dt * 0.25 * (jm1(pm) + pm) * (jm1(pn) + pn)
-    rufrc = rufrc - jnp.sum(du, axis=0)
-    u_nnew = u_nnew - cffu * du
-    rvfrc = rvfrc - jnp.sum(dv, axis=0)
-    v_nnew = v_nnew - cffv * dv
-    return u_nnew, v_nnew, rufrc, rvfrc
+    return _bc.fill_halo(cfg, LapU), _bc.fill_halo(cfg, LapV)
 
 
 def t3dmix4(cfg: Config, grid: Grid, t, Hz, t_nnew, dt: float):
@@ -395,18 +399,18 @@ def _t3dmix_rot(cfg: Config, grid: Grid, t, Hz, z_r, t_nnew, dt: float,
     return jnp.stack(out, axis=0)
 
 
-def uv3dmix2_geo(cfg: Config, grid: Grid, u, v, Hz, z_r, u_nnew, v_nnew,
-                 rufrc, rvfrc, dt: float):
-    """Harmonic viscosity rotated to geopotential surfaces
-    (uv3dmix2_geo.h): full rotated stress tensor with slope-upwinded
-    triads for both the horizontal and the vertical flux components."""
+def _uv_rot_stress(cfg: Config, grid: Grid, u, v, Hz, z_r,
+                   visc_r, visc_p, with_hz: bool):
+    """Rotated viscous stress divergence shared by uv3dmix2_geo and both
+    passes of uv3dmix4_geo: slope-upwinded triads for the horizontal and
+    vertical flux components (uv3dmix2_geo.h / uv3dmix4_geo.h K_LOOPs).
+
+    with_hz: weight the horizontal fluxes by the level thickness (the
+    harmonic operator / second biharmonic pass); the first biharmonic
+    pass computes a plain velocity Laplacian (uv3dmix4_geo.h:494-560, no
+    Hz factor).  Returns (duh, dus, dvh, dvs): the horizontal and
+    vertical-interface flux-divergence parts for u and v."""
     pm, pn = grid.pm, grid.pn
-    visc_r = cfg.visc2 * grid.visc_factor if cfg.use_sponge else \
-        cfg.visc2 * jnp.ones_like(pm)
-    if cfg.uv_smagorinsky:
-        visc_r = visc_r + smagorinsky_visc(cfg, grid, u, v)
-    visc_p = 0.25 * (visc_r + im1(visc_r) + jm1(visc_r) +
-                     im1(jm1(visc_r)))
     sum_pm = im1(jm1(pm)) + im1(pm) + jm1(pm) + pm
     sum_pn = im1(jm1(pn)) + im1(pn) + jm1(pn) + pn
     pm_p = 0.25 * sum_pm
@@ -446,24 +450,28 @@ def uv3dmix2_geo(cfg: Config, grid: Grid, u, v, Hz, z_r, u_nnew, v_nnew,
     abv = lambda a: a[1:]           # interface above level k (kw=k+1)
 
     # --- horizontal rotated fluxes at levels (:460-540) ---
-    cff_r = Hz * (
+    cff_r = (
         grid.on_r * (dnUdx - 0.5 * pn * (
             mn(dZdx_r) * (blw(dUdz) + ip1(abv(dUdz))) +
             mx(dZdx_r) * (abv(dUdz) + ip1(blw(dUdz))))) -
         grid.om_r * (dmVde - 0.5 * pm * (
             mn(dZde_r) * (blw(dVdz) + jp1(abv(dVdz))) +
             mx(dZde_r) * (abv(dVdz) + jp1(blw(dVdz)))))) * grid.rmask
+    if with_hz:
+        cff_r = Hz * cff_r
     UFx = grid.on_r * grid.on_r * visc_r * cff_r
     VFe = grid.om_r * grid.om_r * visc_r * cff_r
 
-    Hz_p = 0.25 * (im1(Hz) + Hz + im1(jm1(Hz)) + jm1(Hz))
-    cff_p = Hz_p * (
+    cff_p = (
         on_p * (dnVdx - 0.5 * pn_p * (
             mn(dZdx_p) * (im1(blw(dVdz)) + abv(dVdz)) +
             mx(dZdx_p) * (im1(abv(dVdz)) + blw(dVdz)))) +
         om_p * (dmUde - 0.5 * pm_p * (
             mn(dZde_p) * (jm1(blw(dUdz)) + abv(dUdz)) +
             mx(dZde_p) * (jm1(abv(dUdz)) + blw(dUdz))))) * grid.pmask
+    if with_hz:
+        Hz_p = 0.25 * (im1(Hz) + Hz + im1(jm1(Hz)) + jm1(Hz))
+        cff_p = Hz_p * cff_p
     UFe = om_p * om_p * visc_p * cff_p
     VFx = on_p * on_p * visc_p * cff_p
 
@@ -562,22 +570,78 @@ def uv3dmix2_geo(cfg: Config, grid: Grid, u, v, Hz, z_r, u_nnew, v_nnew,
     VFsx = jnp.concatenate([zpv, VFsx, zpv], 0)
     VFse = jnp.concatenate([zpv, VFse, zpv], 0)
 
-    # --- time step + barotropic coupling (:710-760) ---
-    cffu = dt * 0.25 * (im1(pm) + pm) * (im1(pn) + pn)
-    du1 = 0.5 * (im1(pn) + pn) * (UFx - im1(UFx))
-    du2 = 0.5 * (im1(pm) + pm) * (jp1(UFe) - UFe)
-    du3 = UFsx[1:] - UFsx[:-1]
-    du4 = UFse[1:] - UFse[:-1]
-    rufrc = rufrc + jnp.sum(du1 + du2 + du3 + du4, axis=0)
-    u_nnew = u_nnew + cffu * (du1 + du2) + dt * (du3 + du4)
+    # --- flux divergences (:710-760) ---
+    duh = 0.5 * (im1(pn) + pn) * (UFx - im1(UFx)) + \
+        0.5 * (im1(pm) + pm) * (jp1(UFe) - UFe)
+    dus = (UFsx[1:] - UFsx[:-1]) + (UFse[1:] - UFse[:-1])
+    dvh = 0.5 * (jm1(pn) + pn) * (ip1(VFx) - VFx) - \
+        0.5 * (jm1(pm) + pm) * (VFe - jm1(VFe))
+    dvs = (VFsx[1:] - VFsx[:-1]) + (VFse[1:] - VFse[:-1])
+    return duh, dus, dvh, dvs
 
+
+def _geo_visc_arrays(cfg: Config, grid: Grid, u, v, visc_const: float,
+                     smag: bool):
+    """visc at rho- and psi-points (sponge factor + Smagorinsky)."""
+    visc_r = visc_const * grid.visc_factor if cfg.use_sponge else \
+        visc_const * jnp.ones_like(grid.pm)
+    if smag and cfg.uv_smagorinsky:
+        visc_r = visc_r + smagorinsky_visc(cfg, grid, u, v)
+    visc_p = 0.25 * (visc_r + im1(visc_r) + jm1(visc_r) +
+                     im1(jm1(visc_r)))
+    return visc_r, visc_p
+
+
+def uv3dmix2_geo(cfg: Config, grid: Grid, u, v, Hz, z_r, u_nnew, v_nnew,
+                 rufrc, rvfrc, dt: float):
+    """Harmonic viscosity rotated to geopotential surfaces
+    (uv3dmix2_geo.h): full rotated stress tensor with slope-upwinded
+    triads for both the horizontal and the vertical flux components."""
+    pm, pn = grid.pm, grid.pn
+    visc_r, visc_p = _geo_visc_arrays(cfg, grid, u, v, cfg.visc2, True)
+    duh, dus, dvh, dvs = _uv_rot_stress(cfg, grid, u, v, Hz, z_r,
+                                        visc_r, visc_p, with_hz=True)
+    cffu = dt * 0.25 * (im1(pm) + pm) * (im1(pn) + pn)
+    rufrc = rufrc + jnp.sum(duh + dus, axis=0)
+    u_nnew = u_nnew + cffu * duh + dt * dus
     cffv = dt * 0.25 * (jm1(pm) + pm) * (jm1(pn) + pn)
-    dv1 = 0.5 * (jm1(pn) + pn) * (ip1(VFx) - VFx)
-    dv2 = 0.5 * (jm1(pm) + pm) * (VFe - jm1(VFe))
-    dv3 = VFsx[1:] - VFsx[:-1]
-    dv4 = VFse[1:] - VFse[:-1]
-    rvfrc = rvfrc + jnp.sum(dv1 - dv2 + dv3 + dv4, axis=0)
-    v_nnew = v_nnew + cffv * (dv1 - dv2) + dt * (dv3 + dv4)
+    rvfrc = rvfrc + jnp.sum(dvh + dvs, axis=0)
+    v_nnew = v_nnew + cffv * dvh + dt * dvs
+    return u_nnew, v_nnew, rufrc, rvfrc
+
+
+def uv3dmix4_geo(cfg: Config, grid: Grid, u, v, Hz, z_r, u_nnew, v_nnew,
+                 rufrc, rvfrc, dt: float):
+    """Biharmonic viscosity rotated to geopotential surfaces
+    (uv3dmix4_geo.h): the rotated harmonic operator applied twice with
+    sqrt(visc4) per pass.  Pass 1 is a plain velocity Laplacian (no Hz
+    weighting, vertical part normalized by the level thickness,
+    uv3dmix4_geo.h:758-800); after lateral closure of (LapU, LapV) the
+    second Hz-weighted pass is subtracted (:1380-1463)."""
+    pm, pn = grid.pm, grid.pn
+    vr = grid.visc_factor * cfg.visc4 if cfg.use_sponge else cfg.visc4
+    visc_r = jnp.sqrt(vr) * jnp.ones_like(pm)
+    visc_p = 0.25 * (visc_r + im1(visc_r) + jm1(visc_r) +
+                     im1(jm1(visc_r)))
+
+    duh, dus, dvh, dvs = _uv_rot_stress(cfg, grid, u, v, Hz, z_r,
+                                        visc_r, visc_p, with_hz=False)
+    oHz_u = 1.0 / (0.5 * (Hz + im1(Hz)))
+    oHz_v = 1.0 / (0.5 * (Hz + jm1(Hz)))
+    LapU = (0.25 * (im1(pm) + pm) * (im1(pn) + pn) * duh +
+            oHz_u * dus) * grid.umask
+    LapV = (0.25 * (jm1(pm) + pm) * (jm1(pn) + pn) * dvh +
+            oHz_v * dvs) * grid.vmask
+    LapU, LapV = _lapuv_bc(cfg, LapU, LapV)
+
+    duh, dus, dvh, dvs = _uv_rot_stress(cfg, grid, LapU, LapV, Hz, z_r,
+                                        visc_r, visc_p, with_hz=True)
+    cffu = dt * 0.25 * (im1(pm) + pm) * (im1(pn) + pn)
+    rufrc = rufrc - jnp.sum(duh + dus, axis=0)
+    u_nnew = u_nnew - (cffu * duh + dt * dus)
+    cffv = dt * 0.25 * (jm1(pm) + pm) * (jm1(pn) + pn)
+    rvfrc = rvfrc - jnp.sum(dvh + dvs, axis=0)
+    v_nnew = v_nnew - (cffv * dvh + dt * dvs)
     return u_nnew, v_nnew, rufrc, rvfrc
 
 

@@ -24,7 +24,7 @@ from .ops.pre_step3d import pre_step3d
 from .ops.rhs3d import rhs3d_momentum
 from .ops.mix3d import (uv3dmix2, t3dmix2, uv3dmix4, t3dmix4,
                         t3dmix2_geo, t3dmix4_geo, t3dmix2_iso,
-                        t3dmix4_iso, uv3dmix2_geo)
+                        t3dmix4_iso, uv3dmix2_geo, uv3dmix4_geo)
 from .ops.step2d import Fast2DState, fast_loop
 from .ops.step3d_uv import step3d_uv
 from .ops.step3d_t import step3d_t
@@ -194,9 +194,14 @@ def step(cfg: Config, grid: Grid, state: State,
                 cfg, grid, state.u, state.v, Hz, u_nnew, v_nnew,
                 rufrc, rvfrc, cfg.dt)
     if cfg.uv_vis4 and cfg.visc4 != 0.0:
-        u_nnew, v_nnew, rufrc, rvfrc = uv3dmix4(
-            cfg, grid, state.u, state.v, Hz, u_nnew, v_nnew,
-            rufrc, rvfrc, cfg.dt)
+        if cfg.uv_mix_geo:
+            u_nnew, v_nnew, rufrc, rvfrc = uv3dmix4_geo(
+                cfg, grid, state.u, state.v, Hz, z_r, u_nnew, v_nnew,
+                rufrc, rvfrc, cfg.dt)
+        else:
+            u_nnew, v_nnew, rufrc, rvfrc = uv3dmix4(
+                cfg, grid, state.u, state.v, Hz, u_nnew, v_nnew,
+                rufrc, rvfrc, cfg.dt)
 
     # --- GLS predictor (main3d.F:565-567) ---
     tke_new, gls_new = state.tke, state.gls

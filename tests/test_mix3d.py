@@ -17,7 +17,8 @@ from roms_tpu import vgrid
 from roms_tpu.ops import bc
 from roms_tpu.ops.mix3d import (t3dmix2, t3dmix4, t3dmix2_geo,
                                 t3dmix4_geo, t3dmix2_iso, t3dmix4_iso,
-                                uv3dmix2, uv3dmix2_geo)
+                                uv3dmix2, uv3dmix2_geo, uv3dmix4,
+                                uv3dmix4_geo)
 
 
 def _setup(flat: bool, doubly_periodic: bool = True):
@@ -154,6 +155,45 @@ def test_uv_geo_matches_s_on_flat_grid_and_dissipates():
     H = cfg.halo
     jj, ii = slice(H, H + cfg.Mm), slice(H, H + cfg.Lm)
     # du is the Hz-weighted increment: new KE proxy must not grow
+    Hz_u = 0.5 * (Hz + jnp.roll(Hz, 1, -1))
+    Hz_v = 0.5 * (Hz + jnp.roll(Hz, 1, -2))
+    ke0 = float((u[:, jj, ii]**2 * Hz_u[:, jj, ii]).sum() +
+                (v[:, jj, ii]**2 * Hz_v[:, jj, ii]).sum())
+    u1 = u + du / Hz_u
+    v1 = v + dv / Hz_v
+    ke1 = float((u1[:, jj, ii]**2 * Hz_u[:, jj, ii]).sum() +
+                (v1[:, jj, ii]**2 * Hz_v[:, jj, ii]).sum())
+    assert ke1 < ke0
+
+
+def test_uv4_geo_matches_s_on_flat_grid_and_dissipates():
+    cfg, grid, t, Hz, z_r = _setup(flat=True)
+    cfg = cfg.replace(visc4=1.0e8, uv_vis4=True)
+    u, v = _uv_fields(cfg, grid, z_r)
+    zu, zv = jnp.zeros_like(u), jnp.zeros_like(v)
+    z2 = jnp.zeros_like(grid.h)
+    du_s, dv_s, ru_s, rv_s = uv3dmix4(cfg, grid, u, v, Hz, zu, zv,
+                                      z2, z2, cfg.dt)
+    du_g, dv_g, ru_g, rv_g = uv3dmix4_geo(cfg, grid, u, v, Hz, z_r,
+                                          zu, zv, z2, z2, cfg.dt)
+    np.testing.assert_allclose(np.asarray(du_g), np.asarray(du_s),
+                               rtol=1e-10, atol=1e-16)
+    np.testing.assert_allclose(np.asarray(dv_g), np.asarray(dv_s),
+                               rtol=1e-10, atol=1e-16)
+    np.testing.assert_allclose(np.asarray(ru_g), np.asarray(ru_s),
+                               rtol=1e-10, atol=1e-16)
+
+    # sloped grid: the biharmonic rotated operator dissipates KE
+    cfg, grid, t, Hz, z_r = _setup(flat=False)
+    cfg = cfg.replace(visc4=1.0e8, uv_vis4=True)
+    u, v = _uv_fields(cfg, grid, z_r)
+    du, dv, _, _ = uv3dmix4_geo(cfg, grid, u, v, Hz, z_r, zu, zv,
+                                z2, z2, cfg.dt)
+    assert np.isfinite(np.asarray(du)).all()
+    assert np.isfinite(np.asarray(dv)).all()
+    assert float(jnp.abs(du).max()) > 0.0
+    H = cfg.halo
+    jj, ii = slice(H, H + cfg.Mm), slice(H, H + cfg.Lm)
     Hz_u = 0.5 * (Hz + jnp.roll(Hz, 1, -1))
     Hz_v = 0.5 * (Hz + jnp.roll(Hz, 1, -2))
     ke0 = float((u[:, jj, ii]**2 * Hz_u[:, jj, ii]).sum() +
