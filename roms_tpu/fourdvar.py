@@ -75,21 +75,12 @@ def _dot(a: Dict, b: Dict):
     return sum(jnp.vdot(a[k], b[k]).real for k in a)
 
 
-def i4dvar(cfg: Config, grid: Grid, background: State,
-           obs: Sequence[Obs], nsteps: int,
-           forcing_fn: Callable = None,
-           sigmas: Dict[str, float] = None,
-           b_iters: int = 4, n_inner: int = 10, n_outer: int = 1):
-    """Run incremental 4D-Var; returns (analysis State, diagnostics dict).
-
-    The trajectory operator M maps an initial State to the observed
-    quantities at their steps; H samples fields at indices.
-    """
-    sigmas = sigmas or {"zeta": 0.1, "u": 0.1, "v": 0.1, "t": 0.5}
-    bsqrt = make_bsqrt(cfg, sigmas, b_iters)
+def _make_ops(cfg: Config, grid: Grid, background: State,
+              obs: Sequence[Obs], nsteps: int, forcing_fn: Callable):
+    """Shared 4D-Var building blocks: the sampled trajectory operator
+    H∘M, the sigma-scaled observation vector, and increment helpers."""
 
     def traj_obs(state: State):
-        """M + H: model trajectory sampled at the observation points."""
         out = []
         for n in range(nsteps):
             state = stepping.step(cfg, grid, state, forcing_fn)
@@ -110,6 +101,24 @@ def i4dvar(cfg: Config, grid: Grid, background: State,
     def zeros_incr():
         return {k: jnp.zeros_like(getattr(background, k))
                 for k in CONTROL_FIELDS}
+
+    return traj_obs, y_scaled, add_incr, zeros_incr
+
+
+def i4dvar(cfg: Config, grid: Grid, background: State,
+           obs: Sequence[Obs], nsteps: int,
+           forcing_fn: Callable = None,
+           sigmas: Dict[str, float] = None,
+           b_iters: int = 4, n_inner: int = 10, n_outer: int = 1):
+    """Run incremental 4D-Var; returns (analysis State, diagnostics dict).
+
+    The trajectory operator M maps an initial State to the observed
+    quantities at their steps; H samples fields at indices.
+    """
+    sigmas = sigmas or {"zeta": 0.1, "u": 0.1, "v": 0.1, "t": 0.5}
+    bsqrt = make_bsqrt(cfg, sigmas, b_iters)
+    traj_obs, y_scaled, add_incr, zeros_incr = _make_ops(
+        cfg, grid, background, obs, nsteps, forcing_fn)
 
     diags = {"Jo": [], "cg_residuals": []}
     x = background
@@ -181,28 +190,8 @@ def rbl4dvar(cfg: Config, grid: Grid, background: State,
     sigma-scaled observation space."""
     sigmas = sigmas or {"zeta": 0.1, "u": 0.1, "v": 0.1, "t": 0.5}
     bsqrt = make_bsqrt(cfg, sigmas, b_iters)
-
-    def traj_obs(state: State):
-        out = []
-        for n in range(nsteps):
-            state = stepping.step(cfg, grid, state, forcing_fn)
-            for ob in obs:
-                if ob.step == n + 1:
-                    f = getattr(state, ob.field)
-                    out.append(f[ob.idx] / ob.sigma)
-        return jnp.concatenate([jnp.ravel(o) for o in out])
-
-    y_scaled = jnp.concatenate(
-        [jnp.ravel(ob.values / ob.sigma) for ob in sorted(
-            obs, key=lambda o: o.step)])
-
-    def add_incr(state: State, dx: Dict):
-        upd = {k: getattr(state, k) + dx[k] for k in CONTROL_FIELDS}
-        return state.replace(**upd)
-
-    def zeros_incr():
-        return {k: jnp.zeros_like(getattr(background, k))
-                for k in CONTROL_FIELDS}
+    traj_obs, y_scaled, add_incr, zeros_incr = _make_ops(
+        cfg, grid, background, obs, nsteps, forcing_fn)
 
     def apply_B(v: Dict):
         return bsqrt(bsqrt(v))          # B = B^1/2 B^T/2 (symmetric)
@@ -251,6 +240,76 @@ def rbl4dvar(cfg: Config, grid: Grid, background: State,
             rGr = rGr_new
 
         # back to state space: dx = B M^T H^T z
+        f = lambda dx: traj_obs(add_incr(x, dx))
+        _, vjp_fn = jax.vjp(f, zeros_incr())
+        (adj,) = vjp_fn(z)
+        x = add_incr(x, apply_B(adj))
+
+    d = innovation(x)
+    diags["Jo"].append(float(0.5 * jnp.vdot(d, d).real))
+    return x, diags
+
+
+def r4dvar(cfg: Config, grid: Grid, background: State,
+           obs: Sequence[Obs], nsteps: int,
+           forcing_fn: Callable = None,
+           sigmas: Dict[str, float] = None,
+           b_iters: int = 4, n_inner: int = 10, n_outer: int = 1):
+    """Indirect-representer 4D-Var (R4D-Var; ROMS/Drivers/r4dvar.h +
+    ROMS/Utility/congrad.F in observation space).
+
+    Each outer (Picard) iteration solves the representer system
+    (R + G) z = d by plain conjugate gradient in sigma-scaled
+    observation space (R = I there), G = H M B M^T H^T, then maps back
+    with dx = B M^T H^T z and re-linearizes about the updated
+    trajectory.  Documented deltas vs the reference: the finite-
+    amplitude representer-tangent model (RPM) is the exact jax.jvp
+    tangent linearization, and the control vector is strong-constraint
+    IC increments (no model-error/boundary controls)."""
+    sigmas = sigmas or {"zeta": 0.1, "u": 0.1, "v": 0.1, "t": 0.5}
+    bsqrt = make_bsqrt(cfg, sigmas, b_iters)
+    traj_obs, y_scaled, add_incr, zeros_incr = _make_ops(
+        cfg, grid, background, obs, nsteps, forcing_fn)
+
+    def apply_B(v: Dict):
+        return bsqrt(bsqrt(v))
+
+    diags = {"Jo": [], "cg_residuals": []}
+    x = background
+
+    @jax.jit
+    def innovation(x):
+        return y_scaled - traj_obs(x)
+
+    @jax.jit
+    def rep_mv(x, z):
+        """(R + G) z with G = H M B M^T H^T about trajectory x."""
+        f = lambda dx: traj_obs(add_incr(x, dx))
+        _, vjp_fn = jax.vjp(f, zeros_incr())
+        (adj,) = vjp_fn(z)
+        _, Gz = jax.jvp(f, (zeros_incr(),), (apply_B(adj),))
+        return z + Gz
+
+    for outer in range(n_outer):
+        d = innovation(x)
+        diags["Jo"].append(float(0.5 * jnp.vdot(d, d).real))
+
+        # congrad.F: standard CG on the stabilized representer matrix
+        z = jnp.zeros_like(d)
+        r = d
+        p = r
+        rr = jnp.vdot(r, r).real
+        for it in range(n_inner):
+            Ap = rep_mv(x, p)
+            alpha = rr / jnp.maximum(jnp.vdot(p, Ap).real, 1e-30)
+            z = z + alpha * p
+            r = r - alpha * Ap
+            rr_new = jnp.vdot(r, r).real
+            diags["cg_residuals"].append(float(jnp.sqrt(rr_new)))
+            beta = rr_new / jnp.maximum(rr, 1e-30)
+            p = r + beta * p
+            rr = rr_new
+
         f = lambda dx: traj_obs(add_incr(x, dx))
         _, vjp_fn = jax.vjp(f, zeros_incr())
         (adj,) = vjp_fn(z)

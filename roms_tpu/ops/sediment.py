@@ -246,11 +246,19 @@ def _bed_layers(cfg: Config, p: SedParams, bed_mass, iactv):
         return bed_mass
     thick = _bed_thickness(p, bed_mass)
 
-    # borrow from below (sed_bed.F:392-446, single-layer cascade)
+    # borrow from below (sed_bed.F:392-446): full multi-layer cascade.
+    # Thickness owed to the active layer is taken from layers 1..Nbed-1
+    # in order: layer l contributes clip(deficit - sum(thick[1:l]), 0,
+    # thick[l]) of its thickness (all of it if the deficit reaches
+    # through it, the remainder if it ends inside it).
     deficit = jnp.maximum(iactv - thick[0], 0.0)
-    take_frac = jnp.minimum(1.0, deficit / jnp.maximum(thick[1], _EPS))
-    moved = take_frac[None] * bed_mass[1]
-    bed_mass = bed_mass.at[0].add(moved).at[1].add(-moved)
+    below = thick[1:]                               # (Nbed-1, Ny, Nx)
+    cum_above = jnp.cumsum(below, axis=0) - below   # sum(thick[1:l])
+    take = jnp.clip(deficit[None] - cum_above, 0.0, below)
+    take_frac = take / jnp.maximum(below, _EPS)
+    moved = take_frac[:, None] * bed_mass[1:]       # (Nbed-1, NST, ...)
+    bed_mass = bed_mass.at[0].add(jnp.sum(moved, axis=0))
+    bed_mass = bed_mass.at[1:].add(-moved)
 
     # new-layer creation on heavy deposition (sed_bed.F:246-330)
     thick = _bed_thickness(p, bed_mass)

@@ -49,9 +49,7 @@ def test_i4dvar_twin_experiment():
     assert err_a < 0.5 * err_b
 
 
-def test_rbl4dvar_dual_matches_primal():
-    """The dual (observation-space) solve must reach the same analysis
-    as the primal I4D-Var for the same B and enough iterations."""
+def _twin_setup():
     cfg = upwelling.make_config(Lm=12, Mm=14, N=4, ndtfast=6)
     cfg, grid, truth0, ffn = upwelling.build(cfg)
     H = cfg.halo
@@ -69,9 +67,14 @@ def test_rbl4dvar_dual_matches_primal():
             ii = np.s_[0, -1, H:H + cfg.Mm, H:H + cfg.Lm]
             obs.append(fourdvar.Obs(
                 step=n, field="t", idx=ii, values=s.t[ii], sigma=0.1))
+    return cfg, grid, truth0, ffn, obs, nsteps
+
+
+def _check_dual_matches_primal(dual_fn):
+    cfg, grid, truth0, ffn, obs, nsteps = _twin_setup()
     sig = {"zeta": 0.0, "u": 0.0, "v": 0.0, "t": 0.5}
-    ana_d, dd = fourdvar.rbl4dvar(cfg, grid, truth0, obs, nsteps, ffn,
-                                  sigmas=sig, b_iters=2, n_inner=8)
+    ana_d, dd = dual_fn(cfg, grid, truth0, obs, nsteps, ffn,
+                        sigmas=sig, b_iters=2, n_inner=8)
     ana_p, dp = fourdvar.i4dvar(cfg, grid, truth0, obs, nsteps, ffn,
                                 sigmas=sig, b_iters=2, n_inner=8)
     # dual reduces the cost like the primal
@@ -81,3 +84,15 @@ def test_rbl4dvar_dual_matches_primal():
     pa = np.asarray(ana_p.t[0, -1]) - np.asarray(truth0.t[0, -1])
     scale = np.abs(pa).max()
     np.testing.assert_allclose(da, pa, atol=0.05 * scale)
+
+
+def test_rbl4dvar_dual_matches_primal():
+    """The dual (observation-space) solve must reach the same analysis
+    as the primal I4D-Var for the same B and enough iterations."""
+    _check_dual_matches_primal(fourdvar.rbl4dvar)
+
+
+def test_r4dvar_representer_matches_primal():
+    """R4D-Var (indirect representer, plain obs-space CG) solves the
+    same stabilized representer system - same analysis as the primal."""
+    _check_dual_matches_primal(fourdvar.r4dvar)
