@@ -37,7 +37,9 @@ def main():
                                 dtype="float32")
     cfg, grid, state, ffn = benchmark.build(cfg)
 
-    nsteps = 10
+    # Long scan per dispatch: the axon tunnel adds ~8 ms RPC latency per
+    # call, so short scans under-report the steady-state step rate.
+    nsteps = 50
     runN = jax.jit(lambda s: stepping.run(cfg, grid, s, nsteps, ffn))
     state = runN(state)                      # compile + warmup
     jax.block_until_ready(state)

@@ -85,7 +85,7 @@ def test_slope_error_bounded(setup, scheme):
 def test_short_run_stability(setup, scheme):
     cfg, grid, s0, *_ = setup
     cfg = cfg.replace(prsgrd_scheme=scheme)
-    _, grid2, s, ffn = upwelling.build(cfg)
+    cfg, grid2, s, ffn = upwelling.build(cfg)
     stepf = stepping.make_stepper(cfg, grid2, ffn, donate=False)
     for _ in range(10):
         s = stepf(s)
