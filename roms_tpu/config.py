@@ -189,6 +189,9 @@ class Config:
     vmix: Optional[str] = None
     kpp_bottom: bool = False    # LMD_BKPP bottom boundary layer
     gls_params: "GLSParams" = GLSParams()
+    # MY2.5 stability-function variant (KANTHA_CLAYSON vs Galperin;
+    # mod_scalars.F:4481-4490)
+    my25_kantha_clayson: bool = False
 
     # --- Pressure gradient scheme: "djs" = splines density Jacobian
     # (prsgrd32.h, DJ_GRADPS default), "dj" = standard density Jacobian

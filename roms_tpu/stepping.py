@@ -283,7 +283,21 @@ def step(cfg: Config, grid: Grid, state: State,
 
     # --- GLS corrector (main3d.F:791-793): updates Akv/Akt for the
     #     tracer step ---
-    if cfg.vmix in ("gls", "my25"):
+    if cfg.vmix == "my25":
+        # dedicated Mellor-Yamada 2.5 corrector (my25_corstep.F); the
+        # predictor is shared with GLS (my25_prestep.F == gls_prestep.F)
+        from .ops.my25 import my25_corstep
+        bvf_g = eos.brunt_vaisala(cfg, state.t, z_r, z_w)
+        (tke_new, gls_new, Akv, Akt, Akk_new,
+         Lscale_new) = my25_corstep(
+            cfg, grid, state.iic,
+            state.tke, state.gls, tke3, gls3, tke_nnew, gls_nnew,
+            state.u, state.v, bvf_g, Hz2, z_r2, z_w2, Huon2, Hvom2, W2,
+            state.Akv, state.Akt, state.Akk, state.Lscale,
+            sustr, svstr, bustr, bvstr,
+            kantha_clayson=cfg.my25_kantha_clayson)
+        Akp_new = Akk_new
+    elif cfg.vmix == "gls":
         bvf_g = eos.brunt_vaisala(cfg, state.t, z_r, z_w)
         (tke_new, gls_new, Akv, Akt, Akk_new, Akp_new,
          Lscale_new) = gls_mod.gls_corstep(
