@@ -27,6 +27,8 @@ BC_RADIATION = "Rad"
 BC_CHAPMAN_EXPLICIT = "Che"
 BC_CHAPMAN_IMPLICIT = "Chi"
 BC_FLATHER = "Fla"
+BC_SHCHEPETKIN = "Shc"   # Maison et al. 2010 (u2dbc_im.F:286-288)
+BC_REDUCED = "Red"       # reduced-physics (u2dbc_im.F:390-392)
 
 
 @dataclass(frozen=True)

@@ -25,9 +25,11 @@ import jax.numpy as jnp
 
 from .. import constants as C
 from ..config import (Config, LBC, BC_RADIATION, BC_CHAPMAN_EXPLICIT,
-                      BC_CHAPMAN_IMPLICIT, BC_FLATHER, BC_CLAMPED)
+                      BC_CHAPMAN_IMPLICIT, BC_FLATHER, BC_CLAMPED,
+                      BC_SHCHEPETKIN, BC_REDUCED)
 
 _EPS = 1.0e-20
+_CO = 1.0 / (2.0 + 2.0 ** 0.5)      # Shchepetkin Co (mod_scalars.F:4175)
 
 # side descriptors: (axis, is_low_end)
 _SIDES = {"west": (-1, True), "east": (-1, False),
@@ -134,6 +136,108 @@ def flather(cfg: Config, grid, ub_kout, z_know, side: str,
     return _unax(uo, axis)
 
 
+def shchepetkin(cfg: Config, grid, ub_know, ub_kout, z_know, z_kout,
+                side: str, dt2d, ext_ubar=0.0, ext_zeta=0.0, mask=None):
+    """Shchepetkin 2-D normal-momentum BC (Maison et al. 2010;
+    u2dbc_im.F:286-360 / v2dbc_im.F twins): free-surface-consistent
+    outgoing characteristic with a supercritical-Courant correction."""
+    axis, low = _SIDES[side]
+    H = cfg.halo
+    ab = H if low else H + (cfg.Lm if axis == -1 else cfg.Mm)
+    uo = _ax(ub_kout, axis)
+    un = _ax(ub_know, axis)
+    zn = _ax(z_know, axis)
+    zo = _ax(z_kout, axis)
+    hh = _ax(grid.h, axis)
+    pmn = _ax(grid.pm if axis == -1 else grid.pn, axis)
+    g = C.g
+    # "in" = interior rho column, "out" = exterior; the boundary u/v
+    # point ab sits between rho columns ab-1 and ab
+    i_in = ab if low else ab - 1
+    i_out = ab - 1 if low else ab
+    u_inner = ab + 1 if low else ab - 1
+
+    if cfg.wetdry:
+        D = 0.5 * (_col(hh, i_out) + _col(zn, i_out) +
+                   _col(hh, i_in) + _col(zn, i_in))
+    else:
+        D = 0.5 * (_col(hh, i_out) + _col(hh, i_in))
+    cff1 = jnp.sqrt(g / jnp.maximum(D, _EPS))
+    Cx = dt2d * cff1 * D * 0.5 * (_col(pmn, i_out) + _col(pmn, i_in))
+    Zx = (0.5 + Cx) * _col(zn, i_in) + (0.5 - Cx) * _col(zn, i_out)
+    # supercritical correction (u2dbc_im.F:345-350)
+    cff2 = (1.0 - _CO / jnp.maximum(Cx, _EPS)) ** 2
+    cff3 = _col(zo, i_in) + Cx * _col(zn, i_out) - \
+        (1.0 + Cx) * _col(zn, i_in)
+    Zx = jnp.where(Cx > _CO, Zx + cff2 * cff3, Zx)
+    sign = 1.0 if low else -1.0
+    ub = 0.5 * ((1.0 - Cx) * _col(un, ab) + Cx * _col(un, u_inner) +
+                ext_ubar - sign * cff1 * (Zx - ext_zeta))
+    if mask is not None:
+        ub = ub * _col(_ax(mask, axis), ab)
+    uo = uo.at[..., ab].set(ub)
+    return _unax(uo, axis)
+
+
+def reduced(cfg: Config, grid, ub_know, ub_kout, z_know, vt_know,
+            side: str, dt2d, sstr=None, bstr=None, ext_zeta=None,
+            mask=None):
+    """Reduced-physics 2-D normal-momentum BC (u2dbc_im.F:390-430 /
+    v2dbc_im.F:392-433): boundary point integrates only the surface
+    pressure gradient + Coriolis + surface/bottom stress.
+
+    vt_know: tangential depth-averaged velocity at know (vbar for the
+    u boundary, ubar for the v boundary); sstr/bstr: kinematic
+    surface/bottom stress components normal to the boundary."""
+    axis, low = _SIDES[side]
+    H = cfg.halo
+    ab = H if low else H + (cfg.Lm if axis == -1 else cfg.Mm)
+    uo = _ax(ub_kout, axis)
+    un = _ax(ub_know, axis)
+    zn = _ax(z_know, axis)
+    vt = _ax(vt_know, axis)
+    hh = _ax(grid.h, axis)
+    ff = _ax(grid.f, axis)
+    pmn = _ax(grid.pm if axis == -1 else grid.pn, axis)
+    g = C.g
+    i_in = ab if low else ab - 1
+    i_out = ab - 1 if low else ab
+
+    if ext_zeta is not None:
+        # LBC zeta acquire form: gradient against the external value
+        sign = 1.0 if low else -1.0
+        bry_pgr = -g * sign * (_col(zn, i_in) - ext_zeta) * \
+            0.5 * _col(pmn, i_in)
+    else:
+        # one-sided interior gradient, oriented along the axis
+        z_lo, z_hi = (_col(zn, i_out), _col(zn, i_in)) if low else \
+            (_col(zn, i_in), _col(zn, i_out))
+        bry_pgr = -g * (z_hi - z_lo) * \
+            0.5 * (_col(pmn, i_out) + _col(pmn, i_in))
+    if cfg.uv_cor:
+        # tangential velocity averaged to the boundary point; the
+        # tangential + offset is one roll along the boundary axis
+        v4 = (_col(vt, i_out) + jnp.roll(_col(vt, i_out), -1, -1) +
+              _col(vt, i_in) + jnp.roll(_col(vt, i_in), -1, -1))
+        cor_sign = 1.0 if axis == -1 else -1.0
+        bry_cor = cor_sign * 0.125 * v4 * (_col(ff, i_out) +
+                                           _col(ff, i_in))
+    else:
+        bry_cor = 0.0
+    D = 0.5 * (_col(hh, i_out) + _col(zn, i_out) +
+               _col(hh, i_in) + _col(zn, i_in))
+    bry_str = 0.0
+    if sstr is not None:
+        bry_str = bry_str + _col(_ax(sstr, axis), ab) / D
+    if bstr is not None:
+        bry_str = bry_str - _col(_ax(bstr, axis), ab) / D
+    ub = _col(un, ab) + dt2d * (bry_pgr + bry_cor + bry_str)
+    if mask is not None:
+        ub = ub * _col(_ax(mask, axis), ab)
+    uo = uo.at[..., ab].set(ub)
+    return _unax(uo, axis)
+
+
 def clamped(cfg: Config, q_kout, side: str, ab: int, ext, mask=None):
     axis, _ = _SIDES[side]
     qo = _ax(q_kout, axis)
@@ -188,10 +292,12 @@ def zetabc(cfg: Config, grid, lbc: LBC, z_know, z_kout, dt2d,
 
 
 def u2dbc(cfg: Config, grid, lbc: LBC, ub_know, ub_kout, z_know,
-          dt2d, bry=None):
-    """Advanced 2-D u-momentum BCs: Flather/radiation/clamped on normal
-    (west/east) sides; radiation on tangential handled via the generic
-    radiation with the tangential ring."""
+          dt2d, bry=None, z_kout=None, vb_know=None,
+          sustr=None, bustr=None):
+    """Advanced 2-D u-momentum BCs: Flather/Shchepetkin/reduced/
+    radiation/clamped on normal (west/east) sides; radiation on
+    tangential handled via the generic radiation with the tangential
+    ring."""
     bry = bry or {}
     H = cfg.halo
     for side in ("west", "east"):
@@ -203,6 +309,18 @@ def u2dbc(cfg: Config, grid, lbc: LBC, ub_know, ub_kout, z_know,
         if kind == BC_FLATHER:
             ub_kout = flather(cfg, grid, ub_kout, z_know, side, ext,
                               bry.get(f"zeta_{side}"), mask=grid.umask)
+        elif kind == BC_SHCHEPETKIN:
+            ub_kout = shchepetkin(
+                cfg, grid, ub_know, ub_kout, z_know,
+                z_kout if z_kout is not None else z_know, side, dt2d,
+                ext, bry.get(f"zeta_{side}", 0.0), mask=grid.umask)
+        elif kind == BC_REDUCED:
+            ub_kout = reduced(
+                cfg, grid, ub_know, ub_kout, z_know,
+                vb_know if vb_know is not None
+                else jnp.zeros_like(ub_know), side, dt2d,
+                sstr=sustr, bstr=bustr, ext_zeta=bry.get(f"zeta_{side}"),
+                mask=grid.umask)
         elif kind == BC_RADIATION:
             ub_kout = radiation(cfg, ub_know, ub_kout, side, ab,
                                 mask=grid.umask)
@@ -224,7 +342,8 @@ def u2dbc(cfg: Config, grid, lbc: LBC, ub_know, ub_kout, z_know,
 
 
 def v2dbc(cfg: Config, grid, lbc: LBC, vb_know, vb_kout, z_know,
-          dt2d, bry=None):
+          dt2d, bry=None, z_kout=None, ub_know=None,
+          svstr=None, bvstr=None):
     bry = bry or {}
     for side in ("south", "north"):
         if cfg.ns_periodic:
@@ -235,6 +354,18 @@ def v2dbc(cfg: Config, grid, lbc: LBC, vb_know, vb_kout, z_know,
         if kind == BC_FLATHER:
             vb_kout = flather(cfg, grid, vb_kout, z_know, side, ext,
                               bry.get(f"zeta_{side}"), mask=grid.vmask)
+        elif kind == BC_SHCHEPETKIN:
+            vb_kout = shchepetkin(
+                cfg, grid, vb_know, vb_kout, z_know,
+                z_kout if z_kout is not None else z_know, side, dt2d,
+                ext, bry.get(f"zeta_{side}", 0.0), mask=grid.vmask)
+        elif kind == BC_REDUCED:
+            vb_kout = reduced(
+                cfg, grid, vb_know, vb_kout, z_know,
+                ub_know if ub_know is not None
+                else jnp.zeros_like(vb_know), side, dt2d,
+                sstr=svstr, bstr=bvstr, ext_zeta=bry.get(f"zeta_{side}"),
+                mask=grid.vmask)
         elif kind == BC_RADIATION:
             vb_kout = radiation(cfg, vb_know, vb_kout, side, ab,
                                 mask=grid.vmask)

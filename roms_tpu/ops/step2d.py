@@ -303,21 +303,26 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
             z_new = wetdry.clamp_zeta(cfg, grid, z_new)
         return z_new
 
-    def ubc(u_new, u_know, z_know, dt2d_):
+    frc_su = forcing.sustr if forcing is not None else None
+    frc_sv = forcing.svstr if forcing is not None else None
+
+    def ubc(u_new, u_know, z_know, dt2d_, z_new=None, v_know=None):
         u_new = bc.apply_bc_u(cfg, cfg.lbc_ubar, u_new,
                               gamma2=cfg.gamma2, mask=grid.umask)
         if adv_u:
             u_new = obc.u2dbc(cfg, grid, cfg.lbc_ubar, u_know, u_new,
-                              z_know, dt2d_, bry)
+                              z_know, dt2d_, bry, z_kout=z_new,
+                              vb_know=v_know, sustr=frc_su)
             u_new = bc.fill_halo(cfg, u_new)
         return u_new
 
-    def vbc(v_new, v_know, z_know, dt2d_):
+    def vbc(v_new, v_know, z_know, dt2d_, z_new=None, u_know=None):
         v_new = bc.apply_bc_v(cfg, cfg.lbc_vbar, v_new,
                               gamma2=cfg.gamma2, mask=grid.vmask)
         if adv_v:
             v_new = obc.v2dbc(cfg, grid, cfg.lbc_vbar, v_know, v_new,
-                              z_know, dt2d_, bry)
+                              z_know, dt2d_, bry, z_kout=z_new,
+                              ub_know=u_know, svstr=frc_sv)
             v_new = bc.fill_halo(cfg, v_new)
         return v_new
 
@@ -390,8 +395,10 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
         rhs_vbar = rhs_vbar * c7v
         rufrc_c = rufrc_c * c7u
         rvfrc_c = rvfrc_c * c7v
-    ubar_p = ubc(ubar_p, fs.ubar_n, fs.zeta_n, dtfast)
-    vbar_p = vbc(vbar_p, fs.vbar_n, fs.zeta_n, dtfast)
+    ubar_p = ubc(ubar_p, fs.ubar_n, fs.zeta_n, dtfast,
+                 z_new=zeta_p, v_know=fs.vbar_n)
+    vbar_p = vbc(vbar_p, fs.vbar_n, fs.zeta_n, dtfast,
+                 z_new=zeta_p, u_know=fs.ubar_n)
     if use_wd:
         # boundary points get the limiter inside u2dbc/v2dbc in the
         # reference (u2dbc_im.F:1187-1234); idempotent on the interior
@@ -444,8 +451,10 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
         if use_wd:
             ubar_new = ubar_new * wetdry.limit(um_c, ubar_new)
             vbar_new = vbar_new * wetdry.limit(vm_c, vbar_new)
-        ubar_new = ubc(ubar_new, fs.ubar_n, fs.zeta_n, dtfast)
-        vbar_new = vbc(vbar_new, fs.vbar_n, fs.zeta_n, dtfast)
+        ubar_new = ubc(ubar_new, fs.ubar_n, fs.zeta_n, dtfast,
+                       z_new=zeta_new, v_know=fs.vbar_n)
+        vbar_new = vbc(vbar_new, fs.vbar_n, fs.zeta_n, dtfast,
+                       z_new=zeta_new, u_know=fs.ubar_n)
         if use_wd:
             ubar_new = ubar_new * wetdry.limit(um_c, ubar_new)
             vbar_new = vbar_new * wetdry.limit(vm_c, vbar_new)
@@ -503,8 +512,10 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
             vbar_p = vbar_p * c7v
             rhs_ubar = rhs_ubar * c7u
             rhs_vbar = rhs_vbar * c7v
-        ubar_p = ubc(ubar_p, fs.ubar_n, fs.zeta_n, 2.0 * dtfast)
-        vbar_p = vbc(vbar_p, fs.vbar_n, fs.zeta_n, 2.0 * dtfast)
+        ubar_p = ubc(ubar_p, fs.ubar_n, fs.zeta_n, 2.0 * dtfast,
+                     z_new=zeta_p, v_know=fs.vbar_n)
+        vbar_p = vbc(vbar_p, fs.vbar_n, fs.zeta_n, 2.0 * dtfast,
+                     z_new=zeta_p, u_know=fs.ubar_n)
         if use_wd:
             ubar_p = ubar_p * wetdry.limit(um_p, ubar_p)
             vbar_p = vbar_p * wetdry.limit(vm_p, vbar_p)
@@ -576,21 +587,25 @@ def step_2d_only(cfg: Config, grid: Grid, fs: Fast2DState, first: bool,
             z_new = wetdry.clamp_zeta(cfg, grid, z_new)
         return z_new
 
-    def ubc(u_new, u_know, z_know, dt2d_):
+    def ubc(u_new, u_know, z_know, dt2d_, z_new=None, v_know=None):
         u_new = bc.apply_bc_u(cfg, cfg.lbc_ubar, u_new,
                               gamma2=cfg.gamma2, mask=grid.umask)
         if adv_u:
             u_new = obc.u2dbc(cfg, grid, cfg.lbc_ubar, u_know, u_new,
-                              z_know, dt2d_, bry)
+                              z_know, dt2d_, bry, z_kout=z_new,
+                              vb_know=v_know,
+                              sustr=forcing.sustr if forcing else None)
             u_new = bc.fill_halo(cfg, u_new)
         return u_new
 
-    def vbc(v_new, v_know, z_know, dt2d_):
+    def vbc(v_new, v_know, z_know, dt2d_, z_new=None, u_know=None):
         v_new = bc.apply_bc_v(cfg, cfg.lbc_vbar, v_new,
                               gamma2=cfg.gamma2, mask=grid.vmask)
         if adv_v:
             v_new = obc.v2dbc(cfg, grid, cfg.lbc_vbar, v_know, v_new,
-                              z_know, dt2d_, bry)
+                              z_know, dt2d_, bry, z_kout=z_new,
+                              ub_know=u_know,
+                              svstr=forcing.svstr if forcing else None)
             v_new = bc.fill_halo(cfg, v_new)
         return v_new
 
@@ -644,8 +659,10 @@ def step_2d_only(cfg: Config, grid: Grid, fs: Fast2DState, first: bool,
         vbar_p = vbar_p * c7v
         rhs_ubar = rhs_ubar * c7u
         rhs_vbar = rhs_vbar * c7v
-    ubar_p = ubc(ubar_p, fs.ubar_n, fs.zeta_n, dtfast)
-    vbar_p = vbc(vbar_p, fs.vbar_n, fs.zeta_n, dtfast)
+    ubar_p = ubc(ubar_p, fs.ubar_n, fs.zeta_n, dtfast,
+                 z_new=zeta_p, v_know=fs.vbar_n)
+    vbar_p = vbc(vbar_p, fs.vbar_n, fs.zeta_n, dtfast,
+                 z_new=zeta_p, u_know=fs.ubar_n)
     if use_wd:
         ubar_p = ubar_p * wetdry.limit(um_p, ubar_p)
         vbar_p = vbar_p * wetdry.limit(vm_p, vbar_p)
@@ -686,8 +703,10 @@ def step_2d_only(cfg: Config, grid: Grid, fs: Fast2DState, first: bool,
     if use_wd:
         ubar_new = ubar_new * wetdry.limit(um_c, ubar_new)
         vbar_new = vbar_new * wetdry.limit(vm_c, vbar_new)
-    ubar_new = ubc(ubar_new, fs.ubar_n, fs.zeta_n, dtfast)
-    vbar_new = vbc(vbar_new, fs.vbar_n, fs.zeta_n, dtfast)
+    ubar_new = ubc(ubar_new, fs.ubar_n, fs.zeta_n, dtfast,
+                   z_new=zeta_new, v_know=fs.vbar_n)
+    vbar_new = vbc(vbar_new, fs.vbar_n, fs.zeta_n, dtfast,
+                   z_new=zeta_new, u_know=fs.ubar_n)
     if use_wd:
         ubar_new = ubar_new * wetdry.limit(um_c, ubar_new)
         vbar_new = vbar_new * wetdry.limit(vm_c, vbar_new)

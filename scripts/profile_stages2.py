@@ -23,7 +23,7 @@ from roms_tpu.ops.step3d_uv import step3d_uv
 from roms_tpu.ops.step3d_t import step3d_t
 from roms_tpu.ops.vbc import set_vbc
 
-L = 100
+L = 600
 
 
 def timeit(name, fn, *args):

@@ -103,3 +103,41 @@ def test_volume_conservation_enforced():
     # predictor/corrector D mismatch in the correction
     vol1 = float((z * area).sum())
     assert abs(vol1 - vol0) < 0.05 * abs(vol0), (vol0, vol1)
+
+
+def test_shchepetkin_radiates_energy_out():
+    """Shchepetkin 2-D momentum OBC + Chapman-implicit zeta: the bump
+    leaves; energy decays by >10x (u2dbc_im.F Shchepetkin branch)."""
+    chi = LBC(BC_CHAPMAN_IMPLICIT, BC_CHAPMAN_IMPLICIT,
+              BC_CHAPMAN_IMPLICIT, BC_CHAPMAN_IMPLICIT)
+    from roms_tpu.config import BC_SHCHEPETKIN
+    shc = LBC(BC_SHCHEPETKIN, BC_SHCHEPETKIN, BC_SHCHEPETKIN,
+              BC_SHCHEPETKIN)
+    cfg, grid, fs = make_case(chi, shc, shc)
+    e0 = energy(cfg, grid, fs)
+    fs = run(cfg, grid, fs, NSTEP)
+    e1 = energy(cfg, grid, fs)
+    assert np.isfinite(np.asarray(fs.zeta_n)).all()
+    assert e1 < 0.1 * e0
+
+
+def test_reduced_physics_accelerates_with_slope():
+    """Reduced-physics 2-D momentum OBC: boundary ubar integrates the
+    local surface pressure gradient (u2dbc_im.F reduced branch)."""
+    from roms_tpu.config import BC_REDUCED, BC_GRADIENT
+    gra = LBC(BC_GRADIENT, BC_GRADIENT, BC_GRADIENT, BC_GRADIENT)
+    red = LBC(BC_REDUCED, BC_REDUCED, BC_REDUCED, BC_REDUCED)
+    cfg, grid, fs = make_case(gra, red, red)
+    # replace the bump with a uniform x-slope: dz/dx < 0 -> du/dt > 0
+    H = cfg.halo
+    xr = np.asarray(grid.xr)
+    slope = -1.0e-6
+    z0 = slope * (xr - 30e3)
+    from roms_tpu.ops import bc as bcmod
+    zeta = bcmod.fill_halo(cfg, jnp.asarray(z0))
+    fs = fs.replace(zeta_n=zeta, zeta_nm1=zeta, Zt_avg1=zeta)
+    fs1 = run(cfg, grid, fs, 3)
+    ub = np.asarray(fs1.ubar_n)
+    # western boundary column accelerated in +x (down the slope)
+    assert (ub[H:H + cfg.Mm, H] > 0.0).all()
+    assert np.isfinite(ub).all()
