@@ -732,3 +732,578 @@ def fennel(cfg: Config, p: FennelParams, grid, t_old, t_new, Hz, z_w,
     for n, i in enumerate(idb):
         t_new = t_new.at[i].add(incr[n])
     return t_new
+
+
+# =====================================================================
+# Hypoxia Simple Respiration Model (hypoxia_srm.h)
+# =====================================================================
+
+@dataclass(frozen=True)
+class HypoxiaParams:
+    """hypoxia_srm.in defaults (External/hypoxia_srm.in:49-60).
+
+    One bio tracer: dissolved oxygen (mmol O2/m3).  Water-column
+    respiration (read as a climatology field, OCEAN%respiration) is the
+    only sink; the surface source is O2 air-sea gas exchange with the
+    same Wanninkhof-92 transfer velocity / Garcia-Gordon saturation as
+    Fennel (hypoxia_srm.h:218-266)."""
+    BioIter: int = 1
+    ResRate: float = 1.1e-4       # 1/day default total respiration
+    surface_do_saturation: bool = False   # SURFACE_DO_SATURATION
+    ocmip_sc: bool = False        # OCMIP_OXYGEN_SC Schmidt variant
+
+
+def hypoxia_srm(cfg: Config, p: HypoxiaParams, grid, t_old, t_new,
+                Hz, z_w, srflx, sustr=None, svstr=None,
+                uwind=None, vwind=None, respiration=None):
+    """Apply one dt of the simple respiration model.
+
+    respiration: (N,Ny,Nx) respiration rate (mmol O2/m3/day); defaults
+    to the uniform p.ResRate (the file-driven field in the reference,
+    hypoxia_srm.h:??, is supplied through forcing["respiration"])."""
+    (iOxy,) = cfg.ibio
+    dtd = cfg.dt / 86400.0 / max(1, p.BioIter)
+    temp = jnp.minimum(t_old[0], 35.0)
+    salt = jnp.maximum(t_old[1], 0.0) if cfg.ntracers >= 2 else \
+        jnp.zeros_like(temp)
+    oxy = jnp.maximum(0.0, t_old[iOxy])
+    oxy_old = oxy
+
+    if respiration is None:
+        respiration = jnp.full_like(temp, p.ResRate)
+
+    for _ in range(max(1, p.BioIter)):
+        # respiration sink, floored at zero (hypoxia_srm.h:203-209)
+        oxy = jnp.maximum(oxy - dtd * respiration, 0.0)
+
+        temp_s, salt_s = temp[-1], salt[-1]
+        o2sat = o2_saturation(temp_s, salt_s)
+        if p.surface_do_saturation:
+            # clamp the surface cell at saturation
+            oxy = oxy.at[-1].set(o2sat)
+        else:
+            # Wanninkhof-92 gas exchange (hypoxia_srm.h:222-262)
+            if uwind is not None and vwind is not None:
+                u10squ = uwind ** 2 + vwind ** 2
+            else:
+                zu = jnp.zeros_like(temp_s)
+                su = sustr if sustr is not None else zu
+                sv = svstr if svstr is not None else zu
+                u10squ = rho0 * 550.0 * jnp.sqrt(
+                    (0.5 * (su + jnp.roll(su, -1, -1))) ** 2 +
+                    (0.5 * (sv + jnp.roll(sv, -1, -2))) ** 2)
+            if p.ocmip_sc:
+                sc = 1638.0 - temp_s * (81.83 - temp_s *
+                                        (1.483 - temp_s * 0.008004))
+            else:
+                sc = 1953.4 - temp_s * (128.0 - temp_s *
+                                        (3.9918 - temp_s * 0.050091))
+            kw = dtd * (0.31 * 24.0 / 100.0) * u10squ * \
+                jnp.sqrt(660.0 / sc)
+            flux = kw * (o2sat - oxy[-1])
+            oxy = oxy.at[-1].add(flux / Hz[-1])
+
+    t_new = t_new.at[iOxy].add(oxy - oxy_old)
+    return t_new
+
+
+# =====================================================================
+# NEMURO lower-trophic ecosystem (Kishi et al. 2007; nemuro.h)
+# =====================================================================
+
+@dataclass(frozen=True)
+class NemuroParams:
+    """nemuro.in defaults (External/nemuro.in:70-170).  11 compartments,
+    ibio order = (Sphy, Lphy, Szoo, Lzoo, Pzoo, NO3, NH4, PON, DON,
+    SiOH4, opal) (nemuro_mod.h:178-188 index assignment)."""
+    BioIter: int = 1
+    AttSW: float = 0.04
+    AttPS: float = 0.04
+    AttPL: float = 0.04
+    PARfrac: float = 0.43
+    AlphaPS: float = 0.01
+    AlphaPL: float = 0.01
+    BetaPS: float = 4.5e-4
+    BetaPL: float = 4.5e-4
+    VmaxS: float = 0.4
+    VmaxL: float = 0.8
+    KNO3S: float = 1.0
+    KNO3L: float = 3.0
+    KNH4S: float = 0.1
+    KNH4L: float = 0.3
+    KSiL: float = 6.0
+    PusaiS: float = 1.5
+    PusaiL: float = 1.5
+    KGppS: float = 6.93e-2
+    KGppL: float = 6.93e-2
+    ResPS0: float = 0.03
+    ResPL0: float = 0.03
+    KResPS: float = 0.0519
+    KResPL: float = 0.0519
+    GammaS: float = 0.135
+    GammaL: float = 0.135
+    MorPS0: float = 58.5e-3
+    MorPL0: float = 29.0e-3
+    KMorPS: float = 6.93e-2
+    KMorPL: float = 6.93e-2
+    GRmaxSps: float = 0.40
+    GRmaxLps: float = 0.10
+    GRmaxLpl: float = 0.40
+    GRmaxLzs: float = 0.40
+    GRmaxPpl: float = 0.20
+    GRmaxPzs: float = 0.20
+    GRmaxPzl: float = 0.20
+    KGraS: float = 6.93e-2
+    KGraL: float = 6.93e-2
+    KGraP: float = 6.93e-2
+    LamS: float = 1.4
+    LamL: float = 1.4
+    LamP: float = 1.4
+    PS2ZSstar: float = 4.3e-2
+    PS2ZLstar: float = 4.0e-2
+    PL2ZLstar: float = 4.0e-2
+    ZS2ZLstar: float = 4.0e-2
+    PL2ZPstar: float = 4.0e-2
+    ZS2ZPstar: float = 4.0e-2
+    ZL2ZPstar: float = 4.0e-2
+    PusaiPL: float = 4.605
+    PusaiZS: float = 3.010
+    MorZS0: float = 58.5e-3
+    MorZL0: float = 58.5e-3
+    MorZP0: float = 58.5e-3
+    KMorZS: float = 0.0693
+    KMorZL: float = 0.0693
+    KMorZP: float = 0.0693
+    AlphaZS: float = 0.70
+    AlphaZL: float = 0.70
+    AlphaZP: float = 0.70
+    BetaZS: float = 0.30
+    BetaZL: float = 0.30
+    BetaZP: float = 0.30
+    Nit0: float = 0.03
+    VP2N0: float = 0.10
+    VP2D0: float = 0.10
+    VD2N0: float = 0.20
+    VO2S0: float = 0.10
+    KNit: float = 6.93e-2
+    KP2D: float = 6.93e-2
+    KP2N: float = 6.93e-2
+    KD2N: float = 6.93e-2
+    KO2S: float = 6.93e-2
+    RSiN: float = 2.0
+    setVPON: float = 40.0     # m/day
+    setVOpal: float = 40.0    # m/day
+    const_par: Optional[float] = None
+
+
+def nemuro(cfg: Config, p: NemuroParams, t_old, t_new, Hz, z_w, srflx):
+    """NEMURO source/sink terms (nemuro.h:239-660, IVLEV_IMPLICIT
+    grazing branch, the compile default).  Every conversion is the
+    reference's backward-implicit consume/transfer stage - elementwise
+    on (11,N,Ny,Nx) stacks, fused by XLA into one kernel."""
+    idb = cfg.ibio
+    if len(idb) != 11:
+        raise ValueError(f"nemuro needs 11 bio tracers, got {len(idb)}")
+    (iPS, iPL, iZS, iZL, iZP, iNO3, iNH4,
+     iPON, iDON, iSiOH, iOpal) = range(11)
+    dtd = cfg.dt / 86400.0 / max(1, p.BioIter)
+    mv = _MINVAL
+
+    temp = t_old[0]
+    bio = jnp.stack([jnp.maximum(0.0, t_old[i]) for i in idb])
+    bio_old = bio
+
+    if p.const_par is not None:
+        par_sur = jnp.full_like(temp[0], p.const_par)
+    else:
+        srf = srflx if srflx is not None else jnp.zeros_like(temp[0])
+        par_sur = p.PARfrac * srf * rho0 * Cp
+
+    for _ in range(max(1, p.BioIter)):
+        # ---- dual-band light with photoinhibition (nemuro.h:160-186):
+        # separate S/L attenuation profiles, evaluated at cell centers
+        # (half-cell attenuation above + full cells above that) ----
+        dzh = 0.5 * (z_w[1:] - z_w[:-1])
+        phy2 = bio[iPS] + bio[iPL]
+        kapS = p.AttSW + p.AttPS * phy2
+        kapL = p.AttSW + p.AttPL * phy2
+        attS = kapS * dzh
+        attL = kapL * dzh
+        # total attenuation from surface down to center of cell k =
+        # sum over cells above of 2*att + att(k)
+        csumS = jnp.flip(jnp.cumsum(jnp.flip(2.0 * attS, 0), axis=0), 0)
+        csumL = jnp.flip(jnp.cumsum(jnp.flip(2.0 * attL, 0), axis=0), 0)
+        AttS = par_sur[None] * jnp.exp(-(csumS - attS))
+        AttL = par_sur[None] * jnp.exp(-(csumL - attL))
+        LightS = (1.0 - jnp.exp(-p.AlphaPS * AttS / p.VmaxS)) * \
+            jnp.exp(-p.BetaPS * AttS / p.VmaxS)
+        LightL = (1.0 - jnp.exp(-p.AlphaPL * AttL / p.VmaxL)) * \
+            jnp.exp(-p.BetaPL * AttL / p.VmaxL)
+        day = par_sur[None] > 0.0
+        LightS = jnp.where(day, LightS, 0.0)
+        LightL = jnp.where(day, LightL, 0.0)
+
+        # ---- small-phyto gross production (nemuro.h:188-216) ----
+        cff1 = dtd * p.VmaxS * jnp.exp(p.KGppS * temp) * LightS * bio[iPS]
+        cff2 = cff1 * jnp.exp(-p.PusaiS * bio[iNH4]) / \
+            (p.KNO3S + bio[iNO3])
+        cff3 = cff1 / (p.KNH4S + bio[iNH4])
+        bio = bio.at[iNO3].set(bio[iNO3] / (1.0 + cff2))
+        bio = bio.at[iNH4].set(bio[iNH4] / (1.0 + cff3))
+        GppNPS = bio[iNO3] * cff2
+        GppAPS = bio[iNH4] * cff3
+        GppPS = GppNPS + GppAPS
+        bio = bio.at[iPS].add(GppPS)
+        RnewS = GppNPS / jnp.maximum(mv, GppPS)
+        cff4 = dtd * p.ResPS0 * jnp.exp(p.KResPS * temp)
+        bio = bio.at[iPS].set(bio[iPS] / (1.0 + cff4))
+        ResPS = bio[iPS] * cff4
+        bio = (bio.at[iNO3].add(ResPS * RnewS)
+                  .at[iNH4].add(ResPS * (1.0 - RnewS)))
+        ExcPS = GppPS * p.GammaS
+        bio = bio.at[iPS].add(-ExcPS).at[iDON].add(ExcPS)
+
+        # ---- large-phyto production with Si limitation (h:218-260) ----
+        cff1 = dtd * p.VmaxL * jnp.exp(p.KGppL * temp) * LightL * bio[iPL]
+        cff2 = jnp.exp(-p.PusaiL * bio[iNH4]) / (p.KNO3L + bio[iNO3])
+        cff3 = 1.0 / (p.KNH4L + bio[iNH4])
+        cff4n = cff2 * bio[iNO3]
+        cff5n = cff3 * bio[iNH4]
+        cff6 = bio[iSiOH] / (p.KSiL + bio[iSiOH])
+        cff7 = cff6 / jnp.maximum(mv, cff4n + cff5n)
+        silim = jnp.minimum(1.0, cff7)
+        cff4 = cff1 * cff2 * silim
+        cff5 = cff1 * cff3 * silim
+        bio = bio.at[iNO3].set(bio[iNO3] / (1.0 + cff4))
+        bio = bio.at[iNH4].set(bio[iNH4] / (1.0 + cff5))
+        GppNPL = bio[iNO3] * cff4
+        GppAPL = bio[iNH4] * cff5
+        GppPL = GppNPL + GppAPL
+        bio = bio.at[iPL].add(GppPL).at[iSiOH].add(-GppPL * p.RSiN)
+        RnewL = GppNPL / jnp.maximum(mv, GppPL)
+        cff7r = dtd * p.ResPL0 * jnp.exp(p.KResPL * temp)
+        bio = bio.at[iPL].set(bio[iPL] / (1.0 + cff7r))
+        ResPL = bio[iPL] * cff7r
+        bio = (bio.at[iNO3].add(ResPL * RnewL)
+                  .at[iNH4].add(ResPL * (1.0 - RnewL))
+                  .at[iSiOH].add(ResPL * p.RSiN))
+        ExcPL = GppPL * p.GammaL
+        bio = (bio.at[iPL].add(-ExcPL).at[iDON].add(ExcPL)
+                  .at[iSiOH].add(ExcPL * p.RSiN))
+
+        # ---- phyto mortality (h:262-276) ----
+        cff1 = dtd * p.MorPS0 * bio[iPS] * jnp.exp(p.KMorPS * temp)
+        cff2 = dtd * p.MorPL0 * bio[iPL] * jnp.exp(p.KMorPL * temp)
+        bio = bio.at[iPS].set(bio[iPS] / (1.0 + cff1))
+        bio = bio.at[iPL].set(bio[iPL] / (1.0 + cff2))
+        MorPS = bio[iPS] * cff1
+        MorPL = bio[iPL] * cff2
+        bio = (bio.at[iPON].add(MorPS + MorPL)
+                  .at[iOpal].add(MorPL * p.RSiN))
+
+        # ---- grazing chain, IVLEV_IMPLICIT branch (h:278-420):
+        # cff = (1 + prey/(fac*ivlev))*exp(Ktemp)*predator; prey is
+        # divided by (1+cff) and the grazed mass moves to the predator.
+        # Note the reference's ZS2ZL and ZS2ZP stages use Bio(iSphy) in
+        # the implicit factor (reproduced as-is). ----
+        tS = jnp.exp(p.KGraS * temp)
+        tL = jnp.exp(p.KGraL * temp)
+        tP = jnp.exp(p.KGraP * temp)
+
+        def ivlev_graze(bio, prey, pred, fac, lam, star, tfac,
+                        inhib=None, implicit_prey=None):
+            if fac == 0.0:            # rate switched off: traced out
+                return bio, jnp.zeros_like(bio[prey])
+            iv = 1.0 - jnp.exp(lam * (star - bio[prey]))
+            # guard: the implicit form divides by fac*iv; where the
+            # Ivlev factor is <= 0 there is no grazing
+            safe = jnp.maximum(iv, mv)
+            ip = bio[implicit_prey if implicit_prey is not None
+                     else prey]
+            cff = (1.0 + ip / (fac * safe)) * tfac * bio[pred]
+            if inhib is not None:
+                cff = cff * inhib
+            cff = jnp.where(iv > 0.0, cff, 0.0)
+            pnew = bio[prey] / (1.0 + cff)
+            gra = cff * pnew
+            return bio.at[prey].set(pnew).at[pred].add(gra), gra
+
+        bio, GraPS2ZS = ivlev_graze(bio, iPS, iZS, dtd * p.GRmaxSps,
+                                    p.LamS, p.PS2ZSstar, tS)
+        bio, GraPS2ZL = ivlev_graze(bio, iPS, iZL, dtd * p.GRmaxLps,
+                                    p.LamL, p.PS2ZLstar, tL)
+        bio, GraPL2ZL = ivlev_graze(bio, iPL, iZL, dtd * p.GRmaxLpl,
+                                    p.LamL, p.PL2ZLstar, tL)
+        bio, GraZS2ZL = ivlev_graze(bio, iZS, iZL, dtd * p.GRmaxLzs,
+                                    p.LamL, p.ZS2ZLstar, tL,
+                                    implicit_prey=iPS)
+        inh1 = jnp.exp(-p.PusaiPL * (bio[iZL] + bio[iZS]))
+        bio, GraPL2ZP = ivlev_graze(bio, iPL, iZP, dtd * p.GRmaxPpl,
+                                    p.LamP, p.PL2ZPstar, tP, inhib=inh1)
+        inh2 = jnp.exp(-p.PusaiZS * bio[iZL])
+        bio, GraZS2ZP = ivlev_graze(bio, iZS, iZP, dtd * p.GRmaxPzs,
+                                    p.LamP, p.ZS2ZPstar, tP, inhib=inh2)
+        bio, GraZL2ZP = ivlev_graze(bio, iZL, iZP, dtd * p.GRmaxPzl,
+                                    p.LamP, p.ZL2ZPstar, tP)
+
+        # ---- egestion and excretion (h:420-434) ----
+        EgeZS = (1.0 - p.AlphaZS) * GraPS2ZS
+        EgeZL = (1.0 - p.AlphaZL) * (GraPS2ZL + GraPL2ZL + GraZS2ZL)
+        EgeZP = (1.0 - p.AlphaZP) * (GraPL2ZP + GraZS2ZP + GraZL2ZP)
+        ExcZS = (p.AlphaZS - p.BetaZS) * GraPS2ZS
+        ExcZL = (p.AlphaZL - p.BetaZL) * (GraPS2ZL + GraPL2ZL +
+                                          GraZS2ZL)
+        ExcZP = (p.AlphaZP - p.BetaZP) * (GraPL2ZP + GraZS2ZP +
+                                          GraZL2ZP)
+        bio = (bio.at[iZS].add(-EgeZS - ExcZS)
+                  .at[iZL].add(-EgeZL - ExcZL)
+                  .at[iZP].add(-EgeZP - ExcZP)
+                  .at[iPON].add(EgeZS + EgeZL + EgeZP)
+                  .at[iNH4].add(ExcZS + ExcZL + ExcZP)
+                  .at[iOpal].add((GraPL2ZL + GraPL2ZP) * p.RSiN))
+
+        # ---- zooplankton mortality (h:436-451) ----
+        cff1 = dtd * p.MorZS0 * bio[iZS] * jnp.exp(p.KMorZS * temp)
+        cff2 = dtd * p.MorZL0 * bio[iZL] * jnp.exp(p.KMorZL * temp)
+        cff3 = dtd * p.MorZP0 * bio[iZP] * jnp.exp(p.KMorZP * temp)
+        bio = bio.at[iZS].set(bio[iZS] / (1.0 + cff1))
+        bio = bio.at[iZL].set(bio[iZL] / (1.0 + cff2))
+        bio = bio.at[iZP].set(bio[iZP] / (1.0 + cff3))
+        bio = bio.at[iPON].add(bio[iZS] * cff1 + bio[iZL] * cff2 +
+                               bio[iZP] * cff3)
+
+        # ---- remineralization chain (h:453-480) ----
+        def decay(bio, src, dst, v0, kk, ratio=1.0):
+            c = dtd * v0 * jnp.exp(kk * temp)
+            s = bio[src] / (1.0 + c)
+            return bio.at[src].set(s).at[dst].add(s * c * ratio)
+
+        bio = decay(bio, iNH4, iNO3, p.Nit0, p.KNit)      # nitrification
+        bio = decay(bio, iPON, iNH4, p.VP2N0, p.KP2N)
+        bio = decay(bio, iPON, iDON, p.VP2D0, p.KP2D)
+        bio = decay(bio, iDON, iNH4, p.VD2N0, p.KD2N)
+        bio = decay(bio, iOpal, iSiOH, p.VO2S0, p.KO2S)
+
+        # ---- sinking of PON and opal (h:482-660, same PPM scheme) ----
+        for comp, w in ((iPON, p.setVPON), (iOpal, p.setVOpal)):
+            if w != 0.0:
+                sunk, _ = ppm_sink(bio[comp], Hz, z_w, dtd * abs(w))
+                bio = bio.at[comp].set(sunk)
+
+    incr = bio - bio_old
+    for n, i in enumerate(idb):
+        t_new = t_new.at[i].add(incr[n])
+    return t_new
+
+
+# =====================================================================
+# Red tide (Alexandrium fundyense) model - Stock et al. (2005),
+# He et al. (2008) (red_tide.h)
+# =====================================================================
+
+@dataclass(frozen=True)
+class RedTideParams:
+    """red_tide.in defaults (External/red_tide.in:49-70).  One bio
+    tracer: dinoflagellate concentration (cells/m3).  Germination from
+    a bottom cyst map + temperature/salinity/light/DIN-limited growth +
+    Q10 mortality + upward swimming."""
+    BioIter: int = 1
+    Gmax: float = 1.05          # 1/day maximum growth
+    Dg: float = 0.18            # cm, cyst germination depth
+    Kn: float = 3.0             # mmol/m3, DIN half-saturation
+    G_eff: float = 0.036        # (W/m2/day)^-1 growth efficiency
+    G_r: float = 0.2            # 1/day maintenance respiration
+    srad_Cdepth: float = 345.5  # W/m2 surface rad for compens. depth
+    AttW: float = 0.2           # 1/m water attenuation
+    AttS: float = 3.5           # 1/cm sediment attenuation
+    E_light: float = 2.4        # W/m2 light germination threshold
+    E_dark: float = 0.024       # W/m2 dark germination threshold
+    Tmin_growth: float = 5.0    # degC
+    DIN_Cdepth: float = 15.0    # mmol/m3 DIN below compensation depth
+    wDino: float = 10.0         # m/day upward swimming
+    Mor_a: float = 0.04         # 1/day mortality amplitude
+    Mor_b: float = 0.03         # 1/day mortality intercept
+    Mor_Q10: float = 10.0
+    Mor_T0: float = 15.0        # degC
+    NsedLayers: int = 10        # red_tide.h:165
+
+
+# monthly endogenous-clock germination potential (red_tide_mod.h:
+# Month_MidDay + GP tables; GPN = GP / max(GP))
+_MONTH_MIDDAY = jnp.array([15.5, 45.0, 74.5, 105.0, 135.5, 166.0,
+                           196.5, 227.5, 258.0, 288.5, 319.0, 349.5])
+_GP = jnp.array([21.90, 11.25, 78.0, 85.0, 96.8, 93.0, 60.0, 50.0,
+                 10.0, 11.5, 17.0, 34.5])
+_GPN = _GP / 96.8
+
+
+def _endo_scale(yday):
+    """Piecewise-linear interpolation of the monthly germination
+    potential at year-day yday (red_tide.h:266-289)."""
+    # wrap: before mid-Jan / after mid-Dec interpolates Dec->Jan
+    span = 365.0 - _MONTH_MIDDAY[11] + _MONTH_MIDDAY[0]
+    before = (365.0 - _MONTH_MIDDAY[11] + yday) / span
+    after = (yday - _MONTH_MIDDAY[11]) / span
+    wrap_cff = jnp.where(yday < _MONTH_MIDDAY[0], before, after)
+    wrap_val = _GPN[11] + wrap_cff * (_GPN[0] - _GPN[11])
+    # interior months
+    i = jnp.clip(jnp.searchsorted(_MONTH_MIDDAY, yday) - 1, 0, 10)
+    cff = (yday - _MONTH_MIDDAY[i]) / (_MONTH_MIDDAY[i + 1] -
+                                       _MONTH_MIDDAY[i])
+    interior = _GPN[i] + cff * (_GPN[i + 1] - _GPN[i])
+    inside = (yday >= _MONTH_MIDDAY[0]) & (yday < _MONTH_MIDDAY[11])
+    return jnp.where(inside, interior, wrap_val)
+
+
+def ppm_swim(qc, Hz, w_dt):
+    """Vertical swimming/sinking flux: the red_tide.h PPM scheme
+    (red_tide.h:330-420, LIMIT_INTERIOR off, NEUMANN off).  w_dt > 0
+    moves mass downward, w_dt < 0 upward; Courant-limited (|w_dt| <
+    min Hz), no flux through surface or bottom.  Returns new profile."""
+    N = qc.shape[0]
+    FC = (qc[1:] - qc[:-1]) / (Hz[1:] + Hz[:-1])        # (N-1,...)
+
+    # PPM slopes for interior boxes k=1..N-2
+    q, hzm, hz, hzp = qc[1:-1], Hz[:-2], Hz[1:-1], Hz[2:]
+    dltR = hz * FC[1:]
+    dltL = hz * FC[:-1]
+    zero = dltR * dltL < 0.0
+    cff = hzm + 2.0 * hz + hzp
+    cffR = cff * FC[1:]
+    cffL = cff * FC[:-1]
+    dltR = jnp.where(zero, 0.0,
+                     jnp.where(jnp.abs(dltR) > jnp.abs(cffL), cffL,
+                               dltR))
+    dltL = jnp.where(zero, 0.0,
+                     jnp.where(jnp.abs(dltL) > jnp.abs(cffR), cffR,
+                               dltL))
+    c = (dltR - dltL) / (hzm + hz + hzp)
+    dltR = dltR - c * hzp
+    dltL = dltL + c * hzm
+    aR = q + dltR
+    aL = q - dltL
+    dR = (2.0 * dltR - dltL) ** 2
+    dL = (2.0 * dltL - dltR) ** 2
+
+    # boundary extrapolation (non-NEUMANN branch)
+    aL_top = aR[-1]                     # aL(N) = aR(N-1)
+    aR_top = 2.0 * qc[-1] - aL_top
+    dR_top = (2.0 * aR_top + aL_top - 3.0 * qc[-1]) ** 2
+    dL_top = (3.0 * qc[-1] - 2.0 * aL_top - aR_top) ** 2
+    aR_bot = aL[0]                      # aR(1) = aL(2)
+    aL_bot = 2.0 * qc[0] - aR_bot
+    dR_bot = (2.0 * aR_bot + aL_bot - 3.0 * qc[0]) ** 2
+    dL_bot = (3.0 * qc[0] - 2.0 * aL_bot - aR_bot) ** 2
+    aR = jnp.concatenate([aR_bot[None], aR, aR_top[None]])
+    aL = jnp.concatenate([aL_bot[None], aL, aL_top[None]])
+    dR = jnp.concatenate([dR_bot[None], dR, dR_top[None]])
+    dL = jnp.concatenate([dL_bot[None], dL, dL_top[None]])
+
+    # WENO-weighted interface values r(k), k=1..N-1, + boundary r
+    epsw = 1.0e-12
+    wL = jnp.maximum(dL[:-1], epsw)
+    wR = jnp.maximum(dR[1:], epsw)
+    r_int = (wR * aR[:-1] + wL * aL[1:]) / (wR + wL)    # (N-1,...)
+    r_top = 2.0 * qc[-1] - r_int[-1]
+    r_bot = 2.0 * qc[0] - r_int[0]
+    r = jnp.concatenate([r_bot[None], r_int, r_top[None]])  # (N+1,...)
+
+    aRf = r[1:]
+    aLf = r[:-1]
+    dLf = 0.5 * (aRf - aLf)
+    dRf = 0.5 * (aRf + aLf) - qc
+
+    # Courant-limited flux through interior interfaces k=1..N-1
+    down = w_dt > 0.0
+    alpha = jnp.where(down, w_dt / Hz[1:], -w_dt / Hz[:-1])
+    edge = jnp.where(down, aLf[1:], aRf[:-1])
+    cL = jnp.where(down, dLf[1:], -dLf[:-1])
+    cR = jnp.where(down, dRf[1:], dRf[:-1])
+    FCk = w_dt * (edge + alpha * (cL - cR * (3.0 - 2.0 * alpha)))
+    zf = jnp.zeros_like(qc[:1])
+    FCi = jnp.concatenate([zf, FCk, zf])                # (N+1,...)
+    return qc + (FCi[1:] - FCi[:-1]) / Hz
+
+
+def red_tide(cfg: Config, p: RedTideParams, t_old, t_new, Hz, z_w, z_r,
+             srflx, yday, cyst_ini=None, din_obs=None):
+    """Red-tide dinoflagellate source/sink + swimming (red_tide.h).
+
+    yday: year-day scalar (dateclock.F caldate analog); cyst_ini:
+    (Ny,Nx) bottom cyst abundance map (cysts/cm3, OCEAN%CystIni);
+    din_obs: (N,Ny,Nx) observed DIN climatology (mmol/m3)."""
+    (iDino,) = cfg.ibio
+    dtd = cfg.dt / 86400.0 / max(1, p.BioIter)
+    rad_scale = rho0 * Cp
+    temp = jnp.minimum(t_old[0], 36.0)
+    salt = jnp.maximum(0.0, t_old[1]) if cfg.ntracers >= 2 else \
+        jnp.zeros_like(temp)
+    dino = jnp.maximum(0.0, t_old[iDino])
+    dino_old = dino
+    srf = srflx if srflx is not None else jnp.zeros_like(temp[0])
+    if cyst_ini is None:
+        cyst_ini = jnp.zeros_like(temp[0])
+
+    # compensation depth from the surface-radiation threshold
+    c_depth = jnp.log(p.G_r / (p.G_eff * p.srad_Cdepth)) / p.AttW
+    endo = _endo_scale(yday)
+
+    for _ in range(max(1, p.BioIter)):
+        # ---- cyst germination at the seabed (red_tide.h:292-330):
+        # light/dark germination rates from bottom temperature, light
+        # level inside each of NsedLayers sediment sub-layers ----
+        tb = temp[0]
+        GermL = (1.50 + (8.72 - 1.50) * 0.5 *
+                 (jnp.tanh(0.790 * tb - 6.27) + 1.0)) / p.NsedLayers
+        GermD = (1.04 + (4.26 - 1.04) * 0.5 *
+                 (jnp.tanh(0.394 * tb - 3.33) + 1.0)) / p.NsedLayers
+        ksed = jnp.arange(1, p.NsedLayers + 1, dtype=temp.dtype)
+        e_flux = rad_scale * srf[None] * jnp.exp(
+            p.AttW * z_w[0][None] -
+            p.AttS * p.Dg * (ksed[:, None, None] - 0.5))
+        frac = jnp.clip((e_flux - p.E_dark) / (p.E_light - p.E_dark),
+                        0.0, 1.0)
+        germ = jnp.sum(GermD[None] + (GermL - GermD)[None] * frac,
+                       axis=0)
+        germ = germ * p.Dg * endo          # (x100 then /100 in ref)
+        cell_flux = cyst_ini * germ / Hz[0]
+        dino = dino.at[0].add(cell_flux * dtd)
+
+        # ---- growth (red_tide.h:332-396): temperature cubic (linear
+        # extrapolation below Tmin), salinity cubic, light-limited
+        # above the compensation depth, DIN-limited Monod ----
+        t_fac = jnp.where(
+            temp >= p.Tmin_growth,
+            0.379 + temp * (-0.0961 + temp * (0.0169 +
+                                              temp * -0.000536)),
+            0.254 - 0.0327 * (5.0 - temp))
+        s_fac = -0.693 + salt * (0.186 + salt * (-0.00622 +
+                                                 salt * 0.0000557))
+        g_fac = t_fac * s_fac
+        rad = srf[None] * rad_scale * jnp.exp(p.AttW * z_r)
+        above = z_r > c_depth
+        cffg = p.Gmax * g_fac + p.G_r
+        g_light = jnp.where(
+            above,
+            jnp.maximum(0.0, cffg * jnp.tanh(p.G_eff * rad /
+                                             jnp.maximum(cffg, 1e-20))
+                        - p.G_r),
+            0.0)
+        din = din_obs if din_obs is not None else \
+            jnp.full_like(temp, p.DIN_Cdepth)
+        din = jnp.where(above, din, p.DIN_Cdepth)
+        g_din = p.Gmax * g_fac * din / (jnp.maximum(p.Kn, 0.0) + din)
+        g_rate = jnp.maximum(jnp.minimum(g_light, g_din), 0.0)
+        dino = dino / (1.0 - g_rate * dtd)
+
+        # ---- Q10 mortality (red_tide.h:398-410) ----
+        m_rate = p.Mor_a * p.Mor_Q10 ** ((temp - p.Mor_T0) * 0.1) + \
+            p.Mor_b
+        dino = dino / (1.0 + m_rate * dtd)
+
+        # ---- upward swimming (SWIM_LOOP) ----
+        if p.wDino != 0.0:
+            dino = ppm_swim(dino, Hz, -p.wDino * dtd)
+
+    t_new = t_new.at[iDino].add(dino - dino_old)
+    return t_new

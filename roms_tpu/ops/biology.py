@@ -234,8 +234,14 @@ def npzd_powell(cfg: Config, p: NPZDParams, t_old, t_new, Hz, z_w, srflx):
 
 def apply_biology(cfg: Config, grid, t_old, t_new, Hz, z_w, srflx,
                   z_r=None, sustr=None, svstr=None,
-                  uwind=None, vwind=None):
-    """Dispatch on cfg.biology (biology.F plugin slot)."""
+                  uwind=None, vwind=None, frc=None, time=None):
+    """Dispatch on cfg.biology (biology.F plugin slot).
+
+    frc: the step's forcing dict; models with file-driven inputs read
+    their extra fields from it (hypoxia_srm: "respiration"; red_tide:
+    "CystIni", "DIN_obs").  time: model time (s) for models with an
+    endogenous annual clock (red_tide)."""
+    frc = frc or {}
     if cfg.biology == "npzd_powell":
         p = cfg.bio_params or NPZDParams()
         return npzd_powell(cfg, p, t_old, t_new, Hz, z_w, srflx)
@@ -253,4 +259,23 @@ def apply_biology(cfg: Config, grid, t_old, t_new, Hz, z_w, srflx,
         return fennel(cfg, p, grid, t_old, t_new, Hz, z_w, srflx,
                       sustr=sustr, svstr=svstr, uwind=uwind,
                       vwind=vwind)
+    if cfg.biology == "hypoxia_srm":
+        from .bio_models import hypoxia_srm, HypoxiaParams
+        p = cfg.bio_params or HypoxiaParams()
+        return hypoxia_srm(cfg, p, grid, t_old, t_new, Hz, z_w, srflx,
+                           sustr=sustr, svstr=svstr, uwind=uwind,
+                           vwind=vwind,
+                           respiration=frc.get("respiration", None))
+    if cfg.biology == "nemuro":
+        from .bio_models import nemuro, NemuroParams
+        p = cfg.bio_params or NemuroParams()
+        return nemuro(cfg, p, t_old, t_new, Hz, z_w, srflx)
+    if cfg.biology == "red_tide":
+        from .bio_models import red_tide, RedTideParams
+        p = cfg.bio_params or RedTideParams()
+        t = time if time is not None else 0.0
+        yday = jnp.mod(t / 86400.0, 365.25)
+        return red_tide(cfg, p, t_old, t_new, Hz, z_w, z_r, srflx,
+                        yday, cyst_ini=frc.get("CystIni", None),
+                        din_obs=frc.get("DIN_obs", None))
     raise ValueError(f"unknown biology model {cfg.biology!r}")

@@ -323,7 +323,8 @@ def step(cfg: Config, grid: Grid, state: State,
         t2 = apply_biology(cfg, grid, state.t, t2, Hz2, z_w2, srflx,
                            z_r=z_r2, sustr=sustr, svstr=svstr,
                            uwind=frc.get("Uwind", None),
-                           vwind=frc.get("Vwind", None))
+                           vwind=frc.get("Vwind", None),
+                           frc=frc, time=state.time)
 
     # --- sediment settling/erosion/bed exchange (main3d.F sediment
     #     call; Sediment/sediment.F driver) ---

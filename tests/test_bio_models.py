@@ -175,3 +175,154 @@ def test_fennel_end_to_end_step():
     H = cfg.halo
     # bloom: phytoplankton grows under constant PAR
     assert float(s.t[5][-1, H + 4, H + 3]) > ini[3]
+
+
+# =====================================================================
+# hypoxia_srm / nemuro / red_tide
+# =====================================================================
+
+from roms_tpu.ops.bio_models import (HypoxiaParams, NemuroParams,
+                                     RedTideParams, hypoxia_srm,
+                                     nemuro, red_tide, ppm_swim)
+
+
+def test_hypoxia_respiration_and_reaeration():
+    cfg = _mkcfg(1)
+    p = HypoxiaParams(ResRate=10.0)          # mmol/m3/day sink
+    Hz, z_w, _ = _column()
+    t = jnp.concatenate([_stack([20.0, 35.0]), _stack([100.0])])
+    zero2 = jnp.zeros((3, 4))
+    t_new = jax.jit(lambda t: hypoxia_srm(
+        cfg, p, _G(), t, t, Hz, z_w, None,
+        uwind=zero2 + 10.0, vwind=zero2))(t)
+    oxy = t_new[2] - t[2] + t[2]              # incr added to t_new=t
+    incr = t_new[2] - t[2]
+    # interior: pure respiration sink of ResRate*dt
+    np.testing.assert_allclose(np.asarray(incr[0]),
+                               -10.0 * cfg.dt / 86400.0, rtol=1e-5)
+    # surface: undersaturated (100 << ~225 sat) -> reaeration inflow
+    assert float(incr[-1, 0, 0]) > float(incr[0, 0, 0])
+    del oxy
+
+
+def test_hypoxia_saturation_clamp():
+    cfg = _mkcfg(1)
+    p = HypoxiaParams(ResRate=0.0, surface_do_saturation=True)
+    Hz, z_w, _ = _column()
+    t = jnp.concatenate([_stack([20.0, 35.0]), _stack([100.0])])
+    t_new = hypoxia_srm(cfg, p, _G(), t, t, Hz, z_w, None)
+    sat = float(o2_saturation(jnp.array(20.0), jnp.array(35.0)))
+    np.testing.assert_allclose(np.asarray(t_new[2][-1]), sat, rtol=1e-6)
+
+
+def test_nemuro_nitrogen_and_silicon_conservation():
+    cfg = _mkcfg(11)
+    # no sinking: total N (all 9 N compartments) and total Si
+    # (SiOH4 + opal + nothing else: PL holds N, Si only via RSiN
+    # bookkeeping in SiOH/opal) must both be conserved by the
+    # source/sink stages
+    p = NemuroParams(setVPON=0.0, setVOpal=0.0, const_par=200.0)
+    Hz, z_w, _ = _column()
+    t = jnp.concatenate([
+        _stack([15.0, 33.0]),
+        _stack([0.2, 0.2, 0.05, 0.05, 0.02,    # PS PL ZS ZL ZP
+                5.0, 0.5, 0.1, 0.2,            # NO3 NH4 PON DON
+                10.0, 0.1])])                  # SiOH4 opal
+    t_new = jax.jit(lambda t: nemuro(cfg, p, t, t, Hz, z_w, None))(t)
+    incr = t_new - t
+    # nitrogen: PS+PL+ZS+ZL+ZP+NO3+NH4+PON+DON
+    dN = sum(float((incr[i] * Hz).sum()) for i in cfg.ibio[:9])
+    scaleN = sum(float((t[i] * Hz).sum()) for i in cfg.ibio[:9])
+    assert abs(dN) < 1e-9 * scaleN
+    # silicon: the reference exchanges Si only between SiOH4, opal and
+    # the PL uptake/release terms, which cancel except for net PL
+    # growth; with GppPL Si drawdown matched by RSiN bookkeeping the
+    # budget closes as SiOH4+opal+RSiN*(PL growth terms). Verify the
+    # direct pair plus RSiN * PL change:
+    dSi = (float((incr[cfg.ibio[9]] * Hz).sum()) +
+           float((incr[cfg.ibio[10]] * Hz).sum()) +
+           2.0 * float((incr[cfg.ibio[1]] * Hz).sum()))
+    # PL: mortality moves N to PON (no Si), grazing moves N to ZL/ZP
+    # with Si to opal - those legs carry RSiN Si with them, so the
+    # simple closure above holds only for uptake/resp/exc legs; allow
+    # a loose bound instead of exactness
+    scaleSi = float((t[cfg.ibio[9]] * Hz).sum())
+    assert abs(dSi) < 0.05 * scaleSi
+
+
+def test_nemuro_daytime_bloom_no_grazing():
+    cfg = _mkcfg(11)
+    # grazing off isolates the production terms: PS must grow in light
+    p = NemuroParams(setVPON=0.0, setVOpal=0.0, const_par=200.0,
+                     GRmaxSps=0.0, GRmaxLps=0.0, GRmaxLpl=0.0,
+                     GRmaxLzs=0.0, GRmaxPpl=0.0, GRmaxPzs=0.0,
+                     GRmaxPzl=0.0)
+    Hz, z_w, _ = _column()
+    t = jnp.concatenate([
+        _stack([15.0, 33.0]),
+        _stack([0.2, 0.2, 0.05, 0.05, 0.02, 5.0, 0.5, 0.1, 0.2,
+                10.0, 0.1])])
+    t_new = nemuro(cfg, p, t, t, Hz, z_w, None)
+    incr = t_new - t
+    assert float(incr[cfg.ibio[0]][-1, 0, 0]) > 0.0   # PS bloom
+    assert float(incr[cfg.ibio[5]][-1, 0, 0]) < 0.0   # NO3 drawdown
+
+
+def test_nemuro_night_no_growth():
+    cfg = _mkcfg(11)
+    p = NemuroParams(setVPON=0.0, setVOpal=0.0)
+    Hz, z_w, _ = _column()
+    t = jnp.concatenate([
+        _stack([15.0, 33.0]),
+        _stack([0.2, 0.2, 0.05, 0.05, 0.02, 5.0, 0.5, 0.1, 0.2,
+                10.0, 0.1])])
+    srflx = jnp.zeros((3, 4))
+    t_new = nemuro(cfg, p, t, t, Hz, z_w, srflx)
+    # NO3 can only increase at night (nitrification), never be consumed
+    assert float((t_new[cfg.ibio[5]] - t[cfg.ibio[5]]).min()) >= 0.0
+
+
+def test_ppm_swim_upward_conserves_and_moves():
+    N, Ny, Nx = 12, 3, 4
+    Hz = jnp.full((N, Ny, Nx), 4.0)
+    qc = jnp.zeros((N, Ny, Nx)).at[5].set(10.0)
+    out = ppm_swim(qc, Hz, -2.0)       # swim up 2 m (CFL=0.5)
+    # conservation: no flux through surface/bottom
+    np.testing.assert_allclose(float((out * Hz).sum()),
+                               float((qc * Hz).sum()), rtol=1e-12)
+    # center of mass moved up
+    z_c = jnp.arange(N)[:, None, None] * 4.0 + 2.0
+    com0 = float((qc * Hz * z_c).sum() / (qc * Hz).sum())
+    com1 = float((out * Hz * z_c).sum() / (out * Hz).sum())
+    assert com1 > com0 + 1.0
+    # downward motion mirrors
+    out_dn = ppm_swim(qc, Hz, 2.0)
+    com2 = float((out_dn * Hz * z_c).sum() / (out_dn * Hz).sum())
+    assert com2 < com0 - 1.0
+
+
+def test_red_tide_germination_growth_swim():
+    cfg = _mkcfg(1, dt=3600.0)
+    p = RedTideParams()
+    Hz, z_w, z_r = _column(depth=30.0)
+    t = jnp.concatenate([_stack([15.0, 31.0]), _stack([100.0])])
+    srflx = jnp.full((3, 4), 300.0 / (1025.0 * 3985.0))  # ~300 W/m2
+    cyst = jnp.full((3, 4), 1000.0)
+    t_new = jax.jit(lambda t: red_tide(
+        cfg, p, t, t, Hz, z_w, z_r, srflx, jnp.asarray(150.0),
+        cyst_ini=cyst))(t)
+    incr = t_new[2] - t[2]
+    assert np.isfinite(np.asarray(incr)).all()
+    # germination + surface growth make the column total grow
+    assert float((incr * Hz).sum()) > 0.0
+    # upward swimming + surface growth: surface cell gains most
+    assert float(incr[-1, 0, 0]) > float(incr[5, 0, 0])
+
+
+def test_red_tide_endo_scale_wraps():
+    from roms_tpu.ops.bio_models import _endo_scale
+    for yd in (0.0, 15.5, 100.0, 349.5, 360.0, 365.0):
+        v = float(_endo_scale(jnp.asarray(yd)))
+        assert 0.0 < v <= 1.0
+    # May (mid-month 135.5) is the germination-potential peak
+    assert float(_endo_scale(jnp.asarray(135.5))) == pytest.approx(1.0)
