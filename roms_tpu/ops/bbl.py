@@ -219,3 +219,202 @@ def bblm(cfg: Config, grid, p: BBLParams, u, v, z_r, z_w,
     bvstr = at_v(tau_c) * anglec_v * grid.vmask
 
     return bustr, bvstr, tau_c, tau_w, tau_cwmax, rheight, rlength
+
+
+# =====================================================================
+# MB_BBL: Meinte Blaas / Soulsby (1995) wave-current bottom boundary
+# layer (ROMS/Nonlinear/mb_bbl.h)
+# =====================================================================
+
+@dataclass(frozen=True)
+class MBBBLParams:
+    """mb_bbl.h parameters (MB_CALC_UB + MB_Z0BL + MB_Z0RIP + MB_Z0BIO
+    + MB_CALC_ZNOT variant, the full moveable-bed configuration)."""
+    d50: float = 0.00015          # median grain size (m)
+    srho: float = 2650.0          # sediment density (kg/m3)
+    tau_ce: float = 0.05 / 1025.0  # critical stress (m2/s2)
+    zob: float = 0.0001           # background roughness (m)
+    cdb_min: float = 1.0e-6
+    cdb_max: float = 0.5
+    z0bl: bool = True             # MB_Z0BL bedload roughness
+    z0rip: bool = True            # MB_Z0RIP ripple roughness
+    z0bio: bool = False           # MB_Z0BIO biogenic roughness
+    calc_znot: bool = True        # MB_CALC_ZNOT
+
+
+def _soulsby_tauw(znot, Fwave, Ub):
+    """Soulsby (1995) pure-wave stress tau_w = scf1*(z0*w)^scf2 *
+    Ub^(2-scf2) (mb_bbl.h:150-157 scf constants)."""
+    scf1 = 0.5 * 1.39
+    scf2 = 0.52
+    return scf1 * (znot * Fwave) ** scf2 * Ub ** (2.0 - scf2)
+
+
+def _soulsby_taucw(tau_c, tau_w):
+    """Soulsby (1995) mean combined stress enhancement
+    (mb_bbl.h:245-247): tau_cw = tau_c*(1+1.2*(tw/(tw+tc))^3.2)."""
+    return tau_c * (1.0 + 1.2 * (tau_w /
+                                 (tau_w + tau_c + _EPS)) ** 3.2)
+
+
+def bblm_mb(cfg: Config, grid, p: MBBBLParams, u, v, z_r, z_w, rho,
+            Hwave, Pwave, Dwave, rheight, rlength):
+    """One MB (Blaas/Soulsby) bottom-boundary-layer evaluation
+    (mb_bbl.h:183-420).  Elementwise on rho points; the reference's
+    IF/ELSE regime ladder becomes nested where-masks.
+
+    rho: in-situ density anomaly at the bottom cell (rho[0]).
+    Returns (bustr, bvstr, tau_c(=tau_cw), tau_w, tau_cwmax, rheight,
+    rlength) - the same surface as bblm (SSW)."""
+    vonKar = _VONKAR
+    pi = jnp.pi
+    Zr = jnp.maximum(z_r[0] - z_w[0], 1.0e-3)
+    Ur = u[0]
+    Vr = v[0]
+    rho_w = rho + 1000.0
+    viscosity = 0.0013 / rho_w            # kinematic (mb_bbl.h:205)
+    rhoSed = p.srho / rho_w               # nondimensional
+
+    Fwave = 2.0 * pi / jnp.maximum(Pwave, 0.05)
+    # Dean & Dalrymple explicit dispersion (MB_BBL_CALC_UB)
+    Kbh = wave_number_kh(grid.h, Fwave)
+    Ab = 0.5 * Hwave / jnp.maximum(jnp.sinh(Kbh), _EPS) + _EPS
+    Ub = Fwave * Ab
+
+    Ucur = 0.5 * (Ur + ip1(Ur))
+    Vcur = 0.5 * (Vr + jp1(Vr))
+    Umag = jnp.sqrt(Ucur * Ucur + Vcur * Vcur) + _EPS
+    phiC = jnp.arctan2(Vcur, Ucur)
+    angler = getattr(grid, "angler", None)
+    angler = jnp.zeros_like(Umag) if angler is None else angler
+    phiCW = 1.5 * pi - Dwave - phiC - angler
+
+    d50 = p.d50
+    tau_cb = p.tau_ce
+    # bedload/suspension regime thresholds (mb_bbl.h:214-218)
+    tau_up = 0.172 * (rhoSed - 1.0) * C.g * d50 ** 0.624
+    tau_bf = 0.79 * viscosity ** (-0.6) * \
+        ((rhoSed - 1.0) * C.g) ** 0.3 * d50 ** 0.9 * tau_cb
+
+    ZnotC0 = d50 / 12.0                   # Nikuradse skin roughness
+    Znot = jnp.maximum(p.zob, ZnotC0)
+
+    # pure-current stresses with total and skin roughness
+    cff1 = vonKar / jnp.log(Zr / Znot)
+    tauC = jnp.clip(cff1 * cff1, p.cdb_min, p.cdb_max) * Umag * Umag
+    cff1s = vonKar / jnp.log(Zr / ZnotC0)
+    tau_cs = cff1s * cff1s * Umag * Umag
+
+    # --- wave-dominated branch (Ub > 1 cm/s; mb_bbl.h:240-330) ---
+    tau_w_skin = _soulsby_tauw(ZnotC0, Fwave, Ub)
+    tau_cw_skin = _soulsby_taucw(tau_cs, tau_w_skin)
+    tau_cws = jnp.sqrt(
+        (tau_cw_skin + tau_w_skin * jnp.cos(phiCW)) ** 2 +
+        (tau_w_skin * jnp.sin(phiCW)) ** 2)
+    tauCWmax = tau_cws
+    tauW = tau_w_skin
+
+    ZnotC = ZnotC0 * jnp.ones_like(Umag)
+    if p.z0bl and p.calc_znot:
+        # bedload saltation roughness (mb_bbl.h:260-266)
+        tau_ex = jnp.maximum(tau_cws - tau_cb, 0.0)
+        cffz = 1.0 / ((rhoSed - 1.0) * C.g * d50)
+        ZnotC = ZnotC + 17.4 * d50 * (cffz * tau_ex) ** 0.75
+    if p.z0bl:
+        cff1b = vonKar / jnp.log(Zr / ZnotC)
+        tau_c_bl = cff1b * cff1b * Umag * Umag
+        tau_wb = _soulsby_tauw(ZnotC, Fwave, Ub)
+        tau_cw_bl = _soulsby_taucw(tau_c_bl, tau_wb)
+        tau_cwb = jnp.sqrt(
+            (tau_cw_bl + tau_wb * jnp.cos(phiCW)) ** 2 +
+            (tau_wb * jnp.sin(phiCW)) ** 2)
+        tauCWmax = tau_cwb
+        tauW = tau_wb
+    else:
+        tau_cwb = tau_cws
+
+    rhgt, rlen = rheight, rlength
+    if p.z0rip:
+        # ripple regime ladder (mb_bbl.h:268-300), sandy beds only
+        RHmin, RLmin = 0.001, 0.01
+        RHmax = 0.8 * rlen / pi
+        rhgt_c = jnp.clip(rhgt, RHmin, jnp.maximum(RHmax, RHmin))
+        tau_en = jnp.maximum(
+            tau_cws, tau_cws * (rlen / jnp.maximum(rlen - pi * rhgt_c,
+                                                   _EPS)) ** 2)
+        # regimes (in reference priority order)
+        local_tr = (tau_cws < tau_cb) & (tau_en >= tau_cb)
+        rh1 = (19.6 * jnp.sqrt(tau_cws / tau_cb) + 20.9) * d50
+        bedload = (tau_cws >= tau_cb) & (tau_cwb < tau_bf)
+        rh2 = (22.15 * jnp.sqrt(tau_cwb / tau_cb) + 6.38) * d50
+        breakoff = (tau_cwb >= tau_bf) & (tau_cwb < tau_up)
+        rl3 = 535.0 * d50
+        rh3 = 0.15 * rl3 * (jnp.sqrt(tau_up) - jnp.sqrt(tau_cwb)) / \
+            jnp.maximum(jnp.sqrt(tau_up) - jnp.sqrt(tau_bf), _EPS)
+        sheet = tau_cwb >= tau_up
+        rhgt_new = jnp.where(
+            local_tr, rh1,
+            jnp.where(bedload, rh2,
+                      jnp.where(breakoff, rh3,
+                                jnp.where(sheet, 0.0, rhgt))))
+        rlen_new = jnp.where(
+            local_tr, rh1 / 0.12,
+            jnp.where(bedload, rh2 / 0.12,
+                      jnp.where(breakoff, rl3,
+                                jnp.where(sheet, 0.0, rlen))))
+        sandy = d50 >= 0.000063
+        if sandy:                       # d50 is a python float
+            rhgt, rlen = rhgt_new, rlen_new
+    if p.z0bio and d50 < 0.000063:
+        # biogenic roughness for muddy beds (mb_bbl.h:302-311)
+        RLbio = 0.1
+        thetw = tau_cws / ((rhoSed - 1.0) * C.g * d50)
+        RHbio = thetw ** (-1.67) * RLbio / jnp.exp(4.11)
+        rhgt = jnp.minimum(RHbio, 0.006)
+        rlen = RLbio * jnp.ones_like(rhgt)
+
+    if (p.z0rip or p.z0bio) and p.calc_znot:
+        ZnotC = ZnotC + 0.92 * rhgt * rhgt / jnp.maximum(rlen, 0.01)
+    if p.z0rip or p.z0bio:
+        cff1r = vonKar / jnp.log(Zr / ZnotC)
+        tau_cr = cff1r * cff1r * Umag * Umag
+        tau_wr = _soulsby_tauw(ZnotC, Fwave, Ub)
+        tauCW_wave = _soulsby_taucw(tau_cr, tau_wr)
+        tauW_wave = tau_wr
+    else:
+        tauCW_wave = _soulsby_taucw(tauC, _soulsby_tauw(Znot, Fwave,
+                                                        Ub))
+        tauW_wave = tauW
+
+    # --- current-only branch (Ub <= 1 cm/s; mb_bbl.h:332-356) ---
+    ZnotC_c = ZnotC0 * jnp.ones_like(Umag)
+    rh_c, rl_c = rhgt, rlen
+    if p.z0rip:
+        sheet_c = tau_cs > tau_up
+        relict = tau_cs < tau_cb
+        rl_y = 1000.0 * d50                       # Yalin (1964)
+        rh_y = 0.0308 * rl_y ** 1.19
+        rh_c = jnp.where(sheet_c, 0.0,
+                         jnp.where(relict, rheight, rh_y))
+        rl_c = jnp.where(sheet_c, 0.0,
+                         jnp.where(relict, rlength, rl_y))
+        if p.calc_znot:
+            ZnotC_c = ZnotC_c + 0.92 * rh_c * rh_c / \
+                jnp.maximum(rl_c, 0.01)
+    cff1c = vonKar / jnp.log(Zr / ZnotC_c)
+    tauCW_cur = jnp.clip(cff1c * cff1c, p.cdb_min, p.cdb_max) * \
+        Umag * Umag
+
+    wave = Ub > 0.01
+    tauCW = jnp.where(wave, tauCW_wave, tauCW_cur)
+    tauW_o = jnp.where(wave, tauW_wave, 0.0)
+    tauCWmax = jnp.where(wave, tauCWmax, tauC)
+    rheight = jnp.where(wave, rhgt, rh_c)
+    rlength = jnp.where(wave, rlen, rl_c)
+
+    # stress components at u/v points (mb_bbl.h:360-380)
+    anglec_u = Ur / jnp.maximum(at_u(Umag), _EPS)
+    bustr = at_u(tauCW) * anglec_u * grid.umask
+    anglec_v = Vr / jnp.maximum(at_v(Umag), _EPS)
+    bvstr = at_v(tauCW) * anglec_v * grid.vmask
+    return bustr, bvstr, tauCW, tauW_o, tauCWmax, rheight, rlength

@@ -130,3 +130,75 @@ def test_sed_toy_with_bbl_resuspends():
         s2 = step2(s2)
     conc2 = np.asarray(s2.t[2][:, jj, ii])
     assert conc2.max() < 1.0e-8
+
+
+# =====================================================================
+# MB_BBL (mb_bbl.h)
+# =====================================================================
+
+from roms_tpu.ops.bbl import MBBBLParams, bblm_mb
+
+
+class _GridStub:
+    pass
+
+
+def _mb_setup(Ny=6, Nx=8, depth=10.0, N=5):
+    g = _GridStub()
+    g.h = jnp.full((Ny, Nx), depth)
+    g.umask = jnp.ones((Ny, Nx))
+    g.vmask = jnp.ones((Ny, Nx))
+    g.angler = jnp.zeros((Ny, Nx))
+    z_w = jnp.linspace(-depth, 0.0, N + 1)[:, None, None] * \
+        jnp.ones((1, Ny, Nx))
+    z_r = 0.5 * (z_w[1:] + z_w[:-1])
+    return g, z_r, z_w
+
+
+def test_mb_bbl_wave_enhancement_and_regimes():
+    import roms_tpu.config as _c
+    cfg = None   # bblm_mb only reads arrays, cfg unused fields
+    p = MBBBLParams()
+    g, z_r, z_w = _mb_setup()
+    shp = g.h.shape
+    u = jnp.full((5,) + shp, 0.3)
+    v = jnp.zeros((5,) + shp)
+    rho = jnp.full(shp, 25.0)
+    rh0 = jnp.full(shp, 0.01)
+    rl0 = jnp.full(shp, 0.10)
+
+    # no waves: pure log-law current stress, tau_w = 0
+    out0 = bblm_mb(cfg, g, p, u, v, z_r, z_w, rho,
+                   jnp.zeros(shp), jnp.full(shp, 8.0),
+                   jnp.zeros(shp), rh0, rl0)
+    bustr0, _, taucw0, tauw0, taumax0, _, _ = out0
+    assert float(tauw0.max()) == 0.0
+    assert float(bustr0.min()) > 0.0
+    # waves crank up both the max stress and the mean stress
+    out1 = bblm_mb(cfg, g, p, u, v, z_r, z_w, rho,
+                   jnp.full(shp, 2.0), jnp.full(shp, 8.0),
+                   jnp.zeros(shp), rh0, rl0)
+    _, _, taucw1, tauw1, taumax1, rh1, rl1 = out1
+    assert float(tauw1.min()) > 0.0
+    assert float(taumax1.min()) > float(taumax0.max())
+    assert float(taucw1.min()) > float(taucw0.max())
+    # energetic waves over sand move the bed: ripples respond
+    assert not np.allclose(np.asarray(rh1), np.asarray(rh0))
+    assert np.isfinite(np.asarray(taumax1)).all()
+
+
+def test_mb_bbl_sheet_flow_flattens_ripples():
+    cfg = None
+    p = MBBBLParams()
+    g, z_r, z_w = _mb_setup(depth=5.0)
+    shp = g.h.shape
+    u = jnp.full((5,) + shp, 1.0)
+    v = jnp.zeros((5,) + shp)
+    rho = jnp.full(shp, 25.0)
+    # huge waves -> tau_cwb above the washout threshold -> plane bed
+    out = bblm_mb(cfg, g, p, u, v, z_r, z_w, rho,
+                  jnp.full(shp, 4.0), jnp.full(shp, 10.0),
+                  jnp.zeros(shp), jnp.full(shp, 0.01),
+                  jnp.full(shp, 0.10))
+    _, _, _, _, _, rh, rl = out
+    np.testing.assert_allclose(np.asarray(rh), 0.0, atol=1e-12)
