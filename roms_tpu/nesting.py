@@ -1,0 +1,345 @@
+"""Refinement-grid nesting (mod_nesting.F / nesting.F / set_contact.F).
+
+TPU-native take on the reference's refinement nesting (nesting.F:41-60
+get_composite/put_refine, fine2coarse two-way averaging): a fine grid
+covers a rectangular block of parent cells with an integer refinement
+`factor`; each parent step drives `factor` fine steps whose lateral
+boundaries are clamped to donor data interpolated in space (bilinear on
+the parent grid) and time (linear between the bracketing parent
+states).  Two-way feedback replaces the covered parent cells with
+conservative block averages of the fine solution.
+
+Design notes (TPU-first):
+- The contact-point machinery (set_contact.F's NetCDF contact files,
+  sparse donor/receiver index lists) collapses to dense fractional-index
+  bilinear gathers: the parent grids here are uniform rectilinear, so
+  receiver index -> donor fractional index is affine and the gather is
+  a static-shape `take` - no scatter/gather tables, fully jittable.
+- All states advance under jit; the factor fine substeps unroll in the
+  trace (factor is static config).
+- The vertical coordinate must match between grids (same N,
+  Vtransform=2 / same Tcline so hc is depth-independent), as required
+  by the reference for refinement (nesting.F refine checks).
+
+Documented deltas vs nesting.F: the two-way update uses plain block
+averages of zeta/t and tangential-face averages of u/v (the reference
+additionally volume-weights by Hz and applies a mass-flux correction
+`check_massflux`); composite/mosaic grid classes are not implemented.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import Config, LBC, BC_CLAMPED
+from .grid import Grid, build_grid
+
+
+@dataclass(frozen=True)
+class RefineSpec:
+    """Where the fine grid sits in the parent (ROMS 1-based interior
+    rho-cell indices, inclusive) and the odd refinement ratio
+    (mod_nesting.F RefineScale)."""
+    istr: int
+    iend: int
+    jstr: int
+    jend: int
+    factor: int = 3
+
+    @property
+    def nci(self) -> int:
+        return self.iend - self.istr + 1
+
+    @property
+    def ncj(self) -> int:
+        return self.jend - self.jstr + 1
+
+
+# ---------------------------------------------------------------------------
+# donor-grid sampling
+# ---------------------------------------------------------------------------
+def _gather1d(a, idx_f, axis):
+    """Linear interpolation of `a` at fractional indices along `axis`."""
+    n = a.shape[axis]
+    i0 = jnp.clip(jnp.floor(idx_f).astype(jnp.int32), 0, n - 2)
+    w = (idx_f - i0).astype(a.dtype)
+    lo = jnp.take(a, i0, axis=axis)
+    hi = jnp.take(a, i0 + 1, axis=axis)
+    # move the gathered axis' weight into broadcast position
+    shape = [1] * lo.ndim
+    ax = axis % a.ndim
+    shape[ax] = w.shape[0]
+    w = w.reshape(shape)
+    return lo * (1.0 - w) + hi * w
+
+
+def _bilinear(a, gi, gj):
+    """Bilinear sample of padded field a[..., j, i] at fractional padded
+    indices (gj along -2, gi along -1); gi/gj are 1-D (separable grid)."""
+    return _gather1d(_gather1d(a, gi, -1), gj, -2)
+
+
+def _rho_index_map(spec: RefineSpec, cfg_f: Config, cfg_c: Config,
+                   stag_x: bool = False, stag_y: bool = False):
+    """Fractional PARENT padded indices of every FINE padded point.
+
+    stag_x/stag_y: the sampled parent field lives at u/v stagger in that
+    direction (u: stag_x, v: stag_y); rho otherwise.  Returns (gi, gj)
+    1-D float arrays of length nx_tot/ny_tot of the fine grid."""
+    Hf, Hc, r = cfg_f.halo, cfg_c.halo, float(spec.factor)
+    i_f = np.arange(cfg_f.nx_tot, dtype=np.float64) - Hf + 1  # ROMS i
+    j_f = np.arange(cfg_f.ny_tot, dtype=np.float64) - Hf + 1
+    if stag_x:
+        gi = spec.istr + (i_f - 1.0) / r + Hc - 1.0      # parent u index
+    else:
+        gi = spec.istr - 0.5 + (i_f - 0.5) / r + Hc - 1.0
+    if stag_y:
+        gj = spec.jstr + (j_f - 1.0) / r + Hc - 1.0
+    else:
+        gj = spec.jstr - 0.5 + (j_f - 0.5) / r + Hc - 1.0
+    return jnp.asarray(gi), jnp.asarray(gj)
+
+
+# ---------------------------------------------------------------------------
+# fine-grid construction
+# ---------------------------------------------------------------------------
+def build_refined(cfg_c: Config, grid_c: Grid, spec: RefineSpec,
+                  name: Optional[str] = None):
+    """Build the receiver (fine) grid/config from a uniform-Cartesian
+    parent by bilinear sampling of h/f (set_contact.F + get_grid analog
+    for refinement grids).  All four fine boundaries are clamped to
+    donor data.  Requires Vtransform=2 (depth-independent hc) so parent
+    and child share the vertical coordinate."""
+    if cfg_c.vtransform != 2:
+        raise ValueError("refinement nesting needs Vtransform=2 so hc "
+                         "matches between parent and child grids")
+    if spec.factor < 1:
+        raise ValueError("refinement factor must be >= 1")
+    clamp = LBC(west=BC_CLAMPED, south=BC_CLAMPED, east=BC_CLAMPED,
+                north=BC_CLAMPED)
+    cfg_f = cfg_c.replace(
+        name=name or (cfg_c.name + f"_refined{spec.factor}"),
+        Lm=spec.nci * spec.factor, Mm=spec.ncj * spec.factor,
+        ew_periodic=False, ns_periodic=False,
+        dt=cfg_c.dt / spec.factor,
+        lbc_zeta=clamp, lbc_ubar=clamp, lbc_vbar=clamp,
+        lbc_u=clamp, lbc_v=clamp, lbc_t=clamp)
+
+    # parent spacing from the (uniform) interior metrics
+    Hc = cfg_c.halo
+    pm0 = float(grid_c.pm[Hc, Hc])
+    pn0 = float(grid_c.pn[Hc, Hc])
+    dxf = 1.0 / (pm0 * spec.factor)
+    dyf = 1.0 / (pn0 * spec.factor)
+
+    gi_r, gj_r = _rho_index_map(spec, cfg_f, cfg_c)
+    h_f = np.array(_bilinear(grid_c.h, gi_r, gj_r), dtype=np.float64)
+    f_f = np.array(_bilinear(grid_c.f, gi_r, gj_r), dtype=np.float64)
+    # nearest-neighbour mask inheritance
+    gi_n = jnp.round(gi_r)
+    gj_n = jnp.round(gj_r)
+    rmask = np.array(_bilinear(grid_c.rmask, gi_n, gj_n),
+                     dtype=np.float64)
+    rmask = np.where(rmask > 0.5, 1.0, 0.0)
+
+    def _depth(xr, yr, i, j, cfg):
+        return h_f
+
+    def _mask(xr, yr, i, j, cfg):
+        return rmask
+
+    grid_f, cfg_f = build_grid(
+        cfg_f, Xsize=dxf * cfg_f.Lm, Esize=dyf * cfg_f.Mm,
+        f0=0.0, beta=0.0, depth_fn=_depth, mask_fn=_mask)
+    # overwrite the analytic f=0 with the interpolated parent Coriolis
+    # and shift the local coordinates into the parent frame
+    Hc_ = cfg_c.halo
+    x0 = float(grid_c.xr[Hc_, Hc_ + spec.istr - 1]) - 0.5 / pm0
+    y0 = float(grid_c.yr[Hc_ + spec.jstr - 1, Hc_]) - 0.5 / pn0
+    grid_f = grid_f.replace(f=jnp.asarray(f_f, grid_f.f.dtype),
+                            xr=grid_f.xr + x0, yr=grid_f.yr + y0)
+    return cfg_f, grid_f
+
+
+# ---------------------------------------------------------------------------
+# donor boundary extraction (put_refine / bry contact points)
+# ---------------------------------------------------------------------------
+def extract_bry(cfg_c: Config, grid_c: Grid, state_c, spec: RefineSpec,
+                cfg_f: Config):
+    """Interpolate the donor state to the receiver's boundary rings.
+
+    Returns the `bry` dict consumed by ops/obc.py clamped BCs:
+    zeta/ubar/vbar (1-D padded lines) and u/v/t ((N,len) / (NT,N,len))
+    per side.  The analog of nesting.F put_refine -> BOUNDARY arrays."""
+    Hf = cfg_f.halo
+    gi_r, gj_r = _rho_index_map(spec, cfg_f, cfg_c)
+    gi_u, _ = _rho_index_map(spec, cfg_f, cfg_c, stag_x=True)
+    _, gj_v = _rho_index_map(spec, cfg_f, cfg_c, stag_y=True)
+
+    rings = {"west": Hf - 1, "east": Hf + cfg_f.Lm,
+             "south": Hf - 1, "north": Hf + cfg_f.Mm}
+    u_rings = {"west": Hf, "east": Hf + cfg_f.Lm}
+    v_rings = {"south": Hf, "north": Hf + cfg_f.Mm}
+
+    def line_w_e(field, gi_line, gj_line, i_ring):
+        # sample along a fixed-x column: all fine j, one fine i
+        return _gather1d(_gather1d(field, gi_line[i_ring:i_ring + 1],
+                                   -1)[..., 0], gj_line, -1)
+
+    def line_s_n(field, gi_line, gj_line, j_ring):
+        return _gather1d(_gather1d(field, gj_line[j_ring:j_ring + 1],
+                                   -2)[..., 0, :], gi_line, -1)
+
+    bry = {}
+    for side in ("west", "east"):
+        ir = rings[side]
+        bry[f"zeta_{side}"] = line_w_e(state_c.zeta, gi_r, gj_r, ir)
+        bry[f"vbar_{side}"] = line_w_e(state_c.vbar, gi_r, gj_v, ir)
+        bry[f"v_{side}"] = line_w_e(state_c.v, gi_r, gj_v, ir)
+        bry[f"t_{side}"] = line_w_e(state_c.t, gi_r, gj_r, ir)
+        iu = u_rings[side]
+        bry[f"ubar_{side}"] = line_w_e(state_c.ubar, gi_u, gj_r, iu)
+        bry[f"u_{side}"] = line_w_e(state_c.u, gi_u, gj_r, iu)
+    for side in ("south", "north"):
+        jr = rings[side]
+        bry[f"zeta_{side}"] = line_s_n(state_c.zeta, gi_r, gj_r, jr)
+        bry[f"ubar_{side}"] = line_s_n(state_c.ubar, gi_u, gj_r, jr)
+        bry[f"u_{side}"] = line_s_n(state_c.u, gi_u, gj_r, jr)
+        bry[f"t_{side}"] = line_s_n(state_c.t, gi_r, gj_r, jr)
+        jv = v_rings[side]
+        bry[f"vbar_{side}"] = line_s_n(state_c.vbar, gi_r, gj_v, jv)
+        bry[f"v_{side}"] = line_s_n(state_c.v, gi_r, gj_v, jv)
+    return bry
+
+
+def init_refined(cfg_c: Config, grid_c: Grid, state_c, spec: RefineSpec,
+                 cfg_f: Config, grid_f: Grid):
+    """Initialize the fine state by bilinear interpolation of the parent
+    prognostic fields (the refinement branch of initial.F/get_state)."""
+    from .state import initial_state
+    gi_r, gj_r = _rho_index_map(spec, cfg_f, cfg_c)
+    gi_u, _ = _rho_index_map(spec, cfg_f, cfg_c, stag_x=True)
+    _, gj_v = _rho_index_map(spec, cfg_f, cfg_c, stag_y=True)
+    sf = initial_state(cfg_f,
+                       zeta=_bilinear(state_c.zeta, gi_r, gj_r),
+                       ubar=_bilinear(state_c.ubar, gi_u, gj_r),
+                       vbar=_bilinear(state_c.vbar, gi_r, gj_v),
+                       u=_bilinear(state_c.u, gi_u, gj_r),
+                       v=_bilinear(state_c.v, gi_r, gj_v),
+                       t=_bilinear(state_c.t, gi_r, gj_r))
+    return sf.replace(time=state_c.time, iic=state_c.iic * spec.factor)
+
+
+# ---------------------------------------------------------------------------
+# two-way feedback (fine2coarse)
+# ---------------------------------------------------------------------------
+def _block_mean(a, r):
+    """(..., r*nj, r*ni) -> (..., nj, ni) block average."""
+    sh = a.shape
+    nj, ni = sh[-2] // r, sh[-1] // r
+    return a.reshape(sh[:-2] + (nj, r, ni, r)).mean((-3, -1))
+
+
+def fine2coarse(cfg_c: Config, state_c, cfg_f: Config, state_f,
+                spec: RefineSpec, margin: int = 1):
+    """Two-way update: replace the parent cells covered by the fine grid
+    (minus `margin` parent cells next to the contact boundary) with
+    block averages of the fine solution (nesting.F fine2coarse).
+
+    zeta/t: factor x factor cell averages; u/v: averages of the factor
+    coincident fine faces along each parent face."""
+    r = spec.factor
+    Hc, Hf = cfg_c.halo, cfg_f.halo
+    m = margin
+    # parent interior block covered by the fine grid (padded indices)
+    cj0, cj1 = Hc + spec.jstr - 1 + m, Hc + spec.jend - m
+    ci0, ci1 = Hc + spec.istr - 1 + m, Hc + spec.iend - m
+    # matching fine interior block
+    fj0 = Hf + m * r
+    fi0 = Hf + m * r
+    njc = cj1 - cj0
+    nic = ci1 - ci0
+
+    def rho_avg(cfield, ffield):
+        blk = _block_mean(
+            ffield[..., fj0:fj0 + njc * r, fi0:fi0 + nic * r], r)
+        return cfield.at[..., cj0:cj1, ci0:ci1].set(
+            blk.astype(cfield.dtype))
+
+    zeta = rho_avg(state_c.zeta, state_f.zeta)
+    t = rho_avg(state_c.t, state_f.t)
+
+    # u faces: parent u index iu in [istr+1+m .. iend+1-m) maps to fine
+    # u index 1 + r*(iu - istr); average r tangential fine faces
+    def u_avg(cfield, ffield):
+        iu0, iu1 = spec.istr + m, spec.iend + 1 - m
+        cu0, cu1 = Hc + iu0 - 1, Hc + iu1 - 1
+        fu = Hf + r * (iu0 - spec.istr)                # fine padded col
+        cols = ffield[..., fj0:fj0 + njc * r,
+                      fu:fu + (iu1 - iu0) * r:r]
+        sh = cols.shape
+        blk = cols.reshape(sh[:-2] + (njc, r, sh[-1])).mean(-2)
+        return cfield.at[..., cj0:cj1, cu0:cu1].set(
+            blk.astype(cfield.dtype))
+
+    def v_avg(cfield, ffield):
+        jv0, jv1 = spec.jstr + m, spec.jend + 1 - m
+        cv0, cv1 = Hc + jv0 - 1, Hc + jv1 - 1
+        fv = Hf + r * (jv0 - spec.jstr)
+        rows = ffield[..., fv:fv + (jv1 - jv0) * r:r,
+                      fi0:fi0 + nic * r]
+        sh = rows.shape
+        blk = rows.reshape(sh[:-2] + (sh[-2], nic, r)).mean(-1)
+        return cfield.at[..., cv0:cv1, ci0:ci1].set(
+            blk.astype(cfield.dtype))
+
+    u = u_avg(state_c.u, state_f.u)
+    ubar = u_avg(state_c.ubar, state_f.ubar)
+    v = v_avg(state_c.v, state_f.v)
+    vbar = v_avg(state_c.vbar, state_f.vbar)
+
+    from .ops import bc
+    fh = lambda a: bc.fill_halo(cfg_c, a)
+    return state_c.replace(zeta=fh(zeta), t=fh(t), u=fh(u), v=fh(v),
+                           ubar=fh(ubar), vbar=fh(vbar))
+
+
+# ---------------------------------------------------------------------------
+# nested stepping driver (main3d's 14 nesting sync points, reduced to
+# the refinement schedule: coarse step -> factor fine steps -> feedback)
+# ---------------------------------------------------------------------------
+def make_nested_stepper(cfg_c: Config, grid_c: Grid, cfg_f: Config,
+                        grid_f: Grid, spec: RefineSpec,
+                        forcing_c: Optional[Callable] = None,
+                        forcing_f: Optional[Callable] = None,
+                        two_way: bool = True):
+    """Returns jitted step_nested(state_c, state_f) -> (state_c, state_f)
+    advancing the pair by one PARENT step."""
+    from . import stepping
+
+    def step_nested(sc, sf):
+        bry0 = extract_bry(cfg_c, grid_c, sc, spec, cfg_f)
+        sc_new = stepping.step(cfg_c, grid_c, sc, forcing_c)
+        bry1 = extract_bry(cfg_c, grid_c, sc_new, spec, cfg_f)
+        r = spec.factor
+        for msub in range(1, r + 1):
+            w = msub / r
+            bry = {k: (1.0 - w) * bry0[k] + w * bry1[k] for k in bry0}
+
+            def ffn_f(cfg, grid, time, _bry=bry):
+                frc = dict(forcing_f(cfg, grid, time)) if forcing_f \
+                    else {}
+                frc["bry"] = _bry
+                return frc
+
+            sf = stepping.step(cfg_f, grid_f, sf, ffn_f)
+        if two_way:
+            sc_new = fine2coarse(cfg_c, sc_new, cfg_f, sf, spec)
+        return sc_new, sf
+
+    return jax.jit(step_nested)

@@ -1,0 +1,129 @@
+"""Refinement nesting (roms_tpu/nesting.py): grid construction,
+donor-boundary extraction, rest/constancy preservation through the
+full nested cycle, and a gravity wave crossing the contact boundary."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from roms_tpu.config import Config, LBC
+from roms_tpu.grid import build_grid
+from roms_tpu.state import initial_state
+from roms_tpu import nesting, stepping
+from roms_tpu.ops import bc
+
+
+def _parent(Lm=24, Mm=20, N=4, depth=100.0, dt=60.0):
+    per = LBC()   # closed on all sides
+    cfg = Config(
+        name="nest_parent", Lm=Lm, Mm=Mm, N=N, ntracers=2,
+        ew_periodic=False, ns_periodic=False,
+        dt=dt, ndtfast=10, solve3d=True,
+        vtransform=2, vstretching=4, theta_s=0.0, theta_b=0.0,
+        tcline=1.0e16,
+        uv_adv=True, uv_cor=True,
+        bottom_drag="linear", rdrg=0.0,
+        vmix="none", eos="linear", Tcoef=0.0, Scoef=0.0,
+        t_hadv=("U3", "U3"), t_vadv=("C4", "C4"),
+        lbc_zeta=per, lbc_ubar=per, lbc_vbar=per,
+        lbc_u=per, lbc_v=per, lbc_t=per,
+        dtype="float64",
+    )
+    grid, cfg = build_grid(cfg, Xsize=24.0e3, Esize=20.0e3, f0=0.0,
+                           beta=0.0,
+                           depth_fn=lambda x, y, i, j, c: depth + 0 * x)
+    return cfg, grid
+
+
+SPEC = nesting.RefineSpec(istr=9, iend=16, jstr=7, jend=14, factor=3)
+
+
+def test_build_refined_geometry():
+    cfg_c, grid_c = _parent()
+    cfg_f, grid_f = nesting.build_refined(cfg_c, grid_c, SPEC)
+    assert cfg_f.Lm == 24 and cfg_f.Mm == 24
+    assert cfg_f.dt == pytest.approx(cfg_c.dt / 3)
+    # fine spacing = parent/3; flat parent depth is preserved exactly
+    np.testing.assert_allclose(np.asarray(grid_f.pm),
+                               3.0 * float(grid_c.pm[3, 3]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(grid_f.h), 100.0, rtol=1e-12)
+
+
+def test_extract_bry_linear_field_exact():
+    # bilinear sampling reproduces a linear-in-x zeta exactly on every
+    # boundary ring
+    cfg_c, grid_c = _parent()
+    cfg_f, grid_f = nesting.build_refined(cfg_c, grid_c, SPEC)
+    sc = initial_state(cfg_c, zeta=1.0e-3 * grid_c.xr)
+    bry = nesting.extract_bry(cfg_c, grid_c, sc, SPEC, cfg_f)
+    Hf = cfg_f.halo
+    got = np.asarray(bry["zeta_west"])
+    want = np.asarray(1.0e-3 * grid_f.xr[:, Hf - 1])
+    np.testing.assert_allclose(got[2:-2], want[2:-2], rtol=1e-10)
+    got_n = np.asarray(bry["zeta_north"])
+    want_n = np.asarray(1.0e-3 * grid_f.xr[Hf + cfg_f.Mm, :])
+    np.testing.assert_allclose(got_n[2:-2], want_n[2:-2], rtol=1e-10)
+
+
+def test_nested_rest_and_constancy():
+    # rest state + constant tracer survive the full nested cycle:
+    # interpolation, 3 fine substeps, clamped contact BCs, two-way
+    # feedback
+    cfg_c, grid_c = _parent()
+    cfg_f, grid_f = nesting.build_refined(cfg_c, grid_c, SPEC)
+    t0 = jnp.stack([jnp.full((cfg_c.N, cfg_c.ny_tot, cfg_c.nx_tot), 17.0),
+                    jnp.full((cfg_c.N, cfg_c.ny_tot, cfg_c.nx_tot), 35.0)])
+    sc = initial_state(cfg_c, t=t0)
+    sf = nesting.init_refined(cfg_c, grid_c, sc, SPEC, cfg_f, grid_f)
+    np.testing.assert_allclose(np.asarray(sf.t[0]), 17.0, rtol=1e-12)
+
+    stepn = nesting.make_nested_stepper(cfg_c, grid_c, cfg_f, grid_f,
+                                        SPEC)
+    for _ in range(3):
+        sc, sf = stepn(sc, sf)
+    for s, cfg in ((sc, cfg_c), (sf, cfg_f)):
+        H = cfg.halo
+        itr = (slice(H, H + cfg.Mm), slice(H, H + cfg.Lm))
+        np.testing.assert_allclose(np.asarray(s.t[0])[(slice(None),) + itr],
+                                   17.0, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(s.u)[(slice(None),) + itr],
+                                   0.0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(s.zeta)[itr], 0.0,
+                                    atol=1e-12)
+
+
+def test_nested_gravity_wave_crosses_contact():
+    # a zeta bump inside the refined region radiates out through the
+    # clamped contact boundary; both grids stay finite and the coarse
+    # two-way region tracks the fine average
+    cfg_c, grid_c = _parent()
+    cfg_f, grid_f = nesting.build_refined(cfg_c, grid_c, SPEC)
+    Hc = cfg_c.halo
+    x = grid_c.xr - float(grid_c.xr[Hc + 10, Hc + 12])
+    y = grid_c.yr - float(grid_c.yr[Hc + 10, Hc + 12])
+    zeta0 = 0.05 * jnp.exp(-(x ** 2 + y ** 2) / (2.0e3 ** 2))
+    zeta0 = bc.fill_halo(cfg_c, zeta0)
+    t0 = jnp.stack([jnp.full((cfg_c.N, cfg_c.ny_tot, cfg_c.nx_tot), 17.0),
+                    jnp.full((cfg_c.N, cfg_c.ny_tot, cfg_c.nx_tot), 35.0)])
+    sc = initial_state(cfg_c, zeta=zeta0, t=t0)
+    sf = nesting.init_refined(cfg_c, grid_c, sc, SPEC, cfg_f, grid_f)
+
+    stepn = nesting.make_nested_stepper(cfg_c, grid_c, cfg_f, grid_f,
+                                        SPEC)
+    e0 = float(jnp.sum(sc.zeta ** 2))
+    for _ in range(8):
+        sc, sf = stepn(sc, sf)
+    zc = np.asarray(sc.zeta)
+    zf = np.asarray(sf.zeta)
+    assert np.isfinite(zc).all() and np.isfinite(zf).all()
+    # wave amplitude decays as it radiates (no reflection blowup)
+    assert float(jnp.sum(sc.zeta ** 2)) < 2.0 * e0
+    # two-way: covered coarse cells equal the fine block averages
+    sc2 = nesting.fine2coarse(cfg_c, sc, cfg_f, sf, SPEC)
+    r = SPEC.factor
+    Hf = cfg_f.halo
+    blk = np.asarray(sf.zeta)[Hf + r:Hf + 2 * r,
+                              Hf + r:Hf + 2 * r].mean()
+    np.testing.assert_allclose(
+        float(sc2.zeta[Hc + SPEC.jstr, Hc + SPEC.istr]), blk, rtol=1e-12)
