@@ -61,3 +61,38 @@ def blowup(cfg: Config, diags, max_speed: float = 20.0,
     """Blowup condition matching diag.F:515-537 semantics."""
     return (~diags["finite"]) | (diags["umax"] > max_speed) | \
         (diags["zmax"] > max_zeta)
+
+
+def stiffness(cfg: Config, grid: Grid):
+    """Grid stiffness ratios (ROMS/Utility/stiffness.F): rx0 (Beckmann &
+    Haidvogel bathymetry slope number) and rx1 (Haney number over the
+    terrain-following levels at rest).  Returns (rx0, rx1) scalars."""
+    hc = hc_of(cfg)
+    zeta0 = jnp.zeros_like(grid.h)
+    _, z_w, _ = vgrid.set_depth(grid.h, zeta0, hc, grid.sc_r, grid.Cs_r,
+                                grid.sc_w, grid.Cs_w, cfg.vtransform)
+    H = cfg.halo
+    # u-face neighbours over the interior (i and i-1), v-faces likewise
+    def faces(a):
+        ai = a[..., H:H + cfg.Mm, H:H + cfg.Lm]
+        aim = a[..., H:H + cfg.Mm, H - 1:H + cfg.Lm - 1]
+        aj = ai
+        ajm = a[..., H - 1:H + cfg.Mm - 1, H:H + cfg.Lm]
+        return (ai, aim), (aj, ajm)
+
+    (hu, hum), (hv, hvm) = faces(grid.h)
+    (mu, mum), (mv, mvm) = faces(grid.rmask)
+    wu = mu * mum
+    wv = mv * mvm
+    rx0 = jnp.maximum(
+        jnp.max(wu * jnp.abs(hu - hum) / (hu + hum)),
+        jnp.max(wv * jnp.abs(hv - hvm) / (hv + hvm)))
+
+    (zu, zum), (zv, zvm) = faces(z_w)
+    num_u = jnp.abs(zu[1:] - zum[1:] + zu[:-1] - zum[:-1])
+    den_u = zu[1:] + zum[1:] - zu[:-1] - zum[:-1]
+    num_v = jnp.abs(zv[1:] - zvm[1:] + zv[:-1] - zvm[:-1])
+    den_v = zv[1:] + zvm[1:] - zv[:-1] - zvm[:-1]
+    rx1 = jnp.maximum(jnp.max(wu * num_u / jnp.maximum(den_u, 1e-30)),
+                      jnp.max(wv * num_v / jnp.maximum(den_v, 1e-30)))
+    return rx0, rx1
