@@ -418,3 +418,304 @@ def bblm_mb(cfg: Config, grid, p: MBBBLParams, u, v, z_r, z_w, rho,
     anglec_v = Vr / jnp.maximum(at_v(Umag), _EPS)
     bvstr = at_v(tauCW) * anglec_v * grid.vmask
     return bustr, bvstr, tauCW, tauW_o, tauCWmax, rheight, rlength
+
+
+# =====================================================================
+# SG_BBL: Styles & Glenn (1999/2000) wave-current bottom boundary
+# layer (ROMS/Nonlinear/sg_bbl.h)
+# =====================================================================
+
+@dataclass(frozen=True)
+class SGBBLParams:
+    """sg_bbl.h parameters (SG_CALC_UB + SG_CALC_ZNOT variant) and the
+    mod_scalars.F:1450-1468 closure constants."""
+    d50: float = 0.00015
+    srho: float = 2650.0
+    zob: float = 0.0001
+    cdb_min: float = 1.0e-6
+    cdb_max: float = 0.5
+    calc_znot: bool = True        # SG_CALC_ZNOT moveable bed roughness
+    alpha: float = 1.0            # sg_alpha (constant-stress layer)
+    nu: float = 1.19e-6           # sg_nu kinematic viscosity
+    n_iter: int = 20              # sg_n
+
+
+_SG_Z1P = 1.0                     # sg_z1p = sg_alpha
+_SG_MP = complex((0.5 / _SG_Z1P) ** 0.5, (0.5 / _SG_Z1P) ** 0.5)
+
+
+def _kelvin8m(x):
+    """Kelvin functions ber/bei/ker/kei and derivatives for x <= 8
+    (sg_bbl.h sg_kelvin8m; Abramowitz & Stegun 9.11 polynomials)."""
+    c = 0.125 * x
+    xp = [c]
+    for _ in range(27):
+        xp.append(xp[-1] * c)
+    p = lambda k: xp[k - 1]
+    xhalf = 0.5 * x
+    lx = jnp.log(jnp.maximum(xhalf, 1e-30))
+    ber = (1.0 - 64.0 * p(4) + 113.77777774 * p(8) -
+           32.36345652 * p(12) + 2.64191397 * p(16) -
+           0.08349609 * p(20) + 0.00122552 * p(24) -
+           0.00000901 * p(28))
+    bei = (16.0 * p(2) - 113.77777774 * p(6) + 72.81777742 * p(10) -
+           10.56765779 * p(14) + 0.52185615 * p(18) -
+           0.01103667 * p(22) + 0.00011346 * p(26))
+    ker = (-ber * lx + 0.25 * jnp.pi * bei - 0.57721566 -
+           59.05819744 * p(4) + 171.36272133 * p(8) -
+           60.60977451 * p(12) + 5.65539121 * p(16) -
+           0.19636347 * p(20) + 0.00309699 * p(24) -
+           0.00002458 * p(28))
+    kei = (-bei * lx - 0.25 * jnp.pi * ber + 6.76454936 * p(2) -
+           142.91827687 * p(6) + 124.23569650 * p(10) -
+           21.30060904 * p(14) + 1.17509064 * p(18) -
+           0.02695875 * p(22) + 0.00029532 * p(26))
+    berp = x * (-4.0 * p(2) + 14.22222222 * p(6) - 6.06814810 * p(10) +
+                0.66047849 * p(14) - 0.02609253 * p(18) +
+                0.00045957 * p(22) - 0.00000394 * p(26))
+    beip = x * (0.5 - 10.66666666 * p(4) + 11.37777772 * p(8) -
+                2.31167514 * p(12) + 0.14677204 * p(16) -
+                0.00379386 * p(20) + 0.00004609 * p(24))
+    ox = 1.0 / jnp.maximum(x, 1e-30)
+    kerp = (-berp * lx - ber * ox + 0.25 * jnp.pi * beip +
+            x * (-3.69113734 * p(2) + 21.42034017 * p(6) -
+                 11.36433272 * p(10) + 1.41384780 * p(14) -
+                 0.06136358 * p(18) + 0.00116137 * p(22) -
+                 0.00001075 * p(26)))
+    keip = (-beip * lx - bei * ox - 0.25 * jnp.pi * berp +
+            x * (0.21139217 - 13.39858846 * p(4) + 19.41182758 * p(8) -
+                 4.65950823 * p(12) + 0.33049424 * p(16) -
+                 0.00926707 * p(20) + 0.00011997 * p(24)))
+    return ber, bei, ker, kei, berp, beip, kerp, keip
+
+
+def _kelvin8p(x):
+    """Kelvin functions for x > 8 (sg_bbl.h sg_kelvin8p asymptotics)."""
+    c = 8.0 / jnp.maximum(x, 1e-30)
+    xps = [c]
+    xms = [-c]
+    for _ in range(5):
+        xps.append(xps[-1] * c)
+        xms.append(-xms[-1] * c)
+    TH = (complex(0.0, -0.3926991), complex(0.0110486, -0.0110485),
+          complex(0.0, -0.0009765), complex(-0.0000906, -0.0000901),
+          complex(-0.0000252, 0.0), complex(-0.0000034, 0.0000051),
+          complex(0.0000006, 0.0000019))
+    PH = (complex(0.7071068, 0.7071068), complex(-0.0625001, -1e-7),
+          complex(-0.0013813, 0.0013811), complex(0.0000005, 0.0002452),
+          complex(0.0000346, 0.0000338), complex(0.0000117, -0.0000024),
+          complex(0.0000016, -0.0000032))
+
+    def series(coefs, xs):
+        out = coefs[0] * jnp.ones_like(x) * (1.0 + 0j)
+        for k in range(6):
+            out = out + coefs[k + 1] * xs[k]
+        return out
+
+    thetap = series(TH, xps)
+    thetam = series(TH, xms)
+    phip = series(PH, xps)
+    phim = series(PH, xms)
+    cf = x / jnp.sqrt(2.0)
+    one_i = 1.0 + 1.0j
+    fofx = jnp.sqrt(jnp.pi / (2.0 * x)) * jnp.exp(-cf * one_i + thetam)
+    gofx = 1.0 / jnp.sqrt(2.0 * jnp.pi * x) * jnp.exp(cf * one_i +
+                                                      thetap)
+    ker = fofx.real
+    kei = fofx.imag
+    ber = gofx.real - kei / jnp.pi
+    bei = gofx.imag + ker / jnp.pi
+    kerp = (-fofx * phim).real
+    keip = (-fofx * phim).imag
+    berp = (gofx * phip).real - keip / jnp.pi
+    beip = (gofx * phip).imag + kerp / jnp.pi
+    return ber, bei, ker, kei, berp, beip, kerp, keip
+
+
+def _sg_phi(ubo, row):
+    """|gamma| of the Styles-Glenn similarity solution at ub/u*cw = ubo
+    (the Kelvin-function block shared by sg_bstress/sg_purewave)."""
+    ro = row / jnp.maximum(ubo, _EPS)
+    znotp = 1.0 / (_VONKAR * jnp.maximum(ro, _EPS))
+
+    def argi_at(zp):
+        x = 2.0 * jnp.sqrt(zp)
+        km = _kelvin8m(jnp.minimum(x, 8.0))
+        kp = _kelvin8p(jnp.maximum(x, 8.0))
+        sel = lambda a, b: jnp.where(x <= 8.0, a, b)
+        ber, bei, ker, kei, berp, beip, kerp, keip = \
+            (sel(a, b) for a, b in zip(km, kp))
+        cff = 1.0 / jnp.sqrt(zp)
+        return ((ber + 1j * bei), (ker + 1j * kei),
+                (berp + 1j * beip) * cff, (kerp + 1j * keip) * cff)
+
+    bnot, knot, bnotp, knotp = argi_at(znotp)
+    b1, k1, b1p, k1p = argi_at(jnp.full_like(znotp, _SG_Z1P))
+    ll = _SG_MP * b1 + b1p
+    nn = _SG_MP * k1 + k1p
+    den1 = bnot * nn - knot * ll
+    argi = bnotp * nn / jnp.where(jnp.abs(den1) > 0, den1, 1.0) + \
+        knotp * ll / jnp.where(jnp.abs(den1) > 0, -den1, 1.0)
+    gam_kelvin = jnp.abs(-_VONKAR * znotp * argi)
+    gam_thin = jnp.abs(-_VONKAR * _SG_Z1P * _SG_MP) * \
+        jnp.ones_like(znotp)
+    return jnp.where(_SG_Z1P / znotp > 1.0, gam_kelvin, gam_thin)
+
+
+def _sg_mu_eps_fofx(ubouc, row, zrozn, phicw, ubokur):
+    """mu, epsilon and the bisection residual f(ubouc) (sg_bstress)."""
+    phi = _sg_phi(ubouc, row)
+    ubouc = jnp.minimum(ubouc, 1.0 / phi)     # monotone clamp loop
+    for _ in range(4):
+        phi = _sg_phi(ubouc, row)
+        ubouc = jnp.minimum(ubouc, 1.0 / phi)
+    mu = jnp.sqrt(ubouc * phi)
+    mu2 = mu * mu
+    cosphi = jnp.abs(jnp.cos(phicw))
+    eps2 = -mu2 * cosphi + jnp.sqrt(jnp.maximum(
+        1.0 + mu2 * mu2 * (cosphi * cosphi - 1.0), 0.0))
+    epsilon = jnp.where(mu >= 1.0, 0.0, jnp.sqrt(jnp.maximum(eps2,
+                                                             0.0)))
+    ro = row / jnp.maximum(ubouc, _EPS)
+    ror = ro / zrozn
+    z1ozn = _VONKAR * ro                       # sg_alpha=1
+    zroz1 = 1.0 / jnp.maximum(_VONKAR * ror, _EPS)
+    zroz2 = epsilon * zroz1
+    z2ozn = z1ozn / jnp.maximum(epsilon, _EPS)
+    lz = lambda a: jnp.log(jnp.maximum(a, _EPS))
+    # the 7-branch matching ladder (sg_bbl.h sg_bstress:fofx)
+    f1 = ubokur * epsilon * (lz(zroz2) + 1.0 - epsilon +
+                             epsilon * lz(z1ozn))
+    f2 = ubokur * epsilon * epsilon * (zroz1 - 1.0 + lz(z1ozn))
+    f3 = ubokur * epsilon * epsilon * lz(zrozn)
+    f4 = ubokur * epsilon * (lz(zroz2) + 1.0 - 1.0 / z2ozn)
+    f5 = ubokur * epsilon * epsilon * (zroz1 - 1.0 / z1ozn)
+    f6 = ubokur * epsilon * lz(zrozn)
+    fof = jnp.where(
+        (zroz2 > 1.0) & (z1ozn > 1.0), f1,
+        jnp.where((zroz2 <= 1.0) & (zroz1 > 1.0) & (z1ozn > 1.0), f2,
+        jnp.where((zroz1 <= 1.0) & (z1ozn > 1.0), f3,
+        jnp.where((zroz2 > 1.0) & (z1ozn <= 1.0) & (z2ozn > 1.0), f4,
+        jnp.where((zroz2 <= 1.0) & (zroz1 > 1.0) & (z1ozn <= 1.0) &
+                  (z2ozn > 1.0), f5,
+        jnp.where((zroz2 > 1.0) & (z2ozn <= 1.0), f6, 0.0))))))
+    return mu, epsilon, -ubouc + fof, ubouc
+
+
+def bblm_sg(cfg: Config, grid, p: SGBBLParams, u, v, z_r, z_w, rho,
+            Hwave, Pwave, Dwave):
+    """One SG (Styles & Glenn 1999) bottom-boundary-layer evaluation
+    (sg_bbl.h:183-470): wave friction from the Kelvin-function
+    similarity solution, bisection for ub/u*cw, Shields-criterion
+    moveable-bed roughness (Wiberg-Harris ripples + sheet-flow kbs).
+
+    Returns (bustr, bvstr, tau_c, tau_w, tau_cwmax, rheight, rlength)
+    - the same surface as bblm/bblm_mb."""
+    vonKar = _VONKAR
+    Zr = jnp.maximum(z_r[0] - z_w[0], 1.0e-3)
+    Ur = u[0]
+    Vr = v[0]
+    rho_w = rho + 1000.0
+    ss = p.srho / rho_w
+
+    Fwave = 2.0 * jnp.pi / jnp.maximum(Pwave, 0.05)
+    Kbh = wave_number_kh(grid.h, Fwave)
+    Ab = 0.5 * Hwave / jnp.maximum(jnp.sinh(Kbh), _EPS) + _EPS
+    Ub = Fwave * Ab + _EPS
+
+    Ucur = 0.5 * (Ur + ip1(Ur))
+    Vcur = 0.5 * (Vr + jp1(Vr))
+    Umag = jnp.sqrt(Ucur * Ucur + Vcur * Vcur) + _EPS
+    phic = jnp.arctan2(Vcur, Ucur)
+    angler = getattr(grid, "angler", None)
+    angler = jnp.zeros_like(Umag) if angler is None else angler
+    phicw = 1.5 * jnp.pi - Dwave - phic - angler
+
+    # pure-current log-law stress with the default roughness
+    cff1 = vonKar / jnp.log(Zr / p.zob)
+    TauC0 = jnp.clip(cff1 * cff1, p.cdb_min, p.cdb_max) * Umag * Umag
+
+    # --- moveable-bed roughness (SG_CALC_ZNOT; sg_bbl.h:268-330) ---
+    d50 = p.d50
+    if p.calc_znot:
+        star = d50 / (4.0 * p.nu) * jnp.sqrt((ss - 1.0) * C.g * d50)
+        shldcr = jnp.where(
+            star <= 1.5, 0.0932 * star ** (-0.707),
+            jnp.where(star < 4.0, 0.0848 * star ** (-0.473),
+            jnp.where(star < 10.0, 0.0680 * star ** (-0.314),
+            jnp.where(star < 34.0, 0.033,
+            jnp.where(star < 270.0, 0.0134 * star ** 0.255, 0.056)))))
+        abokb_d = Ab / d50
+        fwm0 = jnp.where(abokb_d <= 100.0,
+                         jnp.exp(7.02 * jnp.maximum(abokb_d, 0.1) **
+                                 (-0.078) - 8.82),
+                         jnp.exp(5.61 * abokb_d ** (-0.109) - 7.30))
+        ustarwm0 = jnp.sqrt(0.5 * fwm0) * Ub
+        shld = ustarwm0 ** 2 / ((ss - 1.0) * d50 * C.g)
+        chi = 4.0 * p.nu * Ub * Ub / (d50 * ((ss - 1.0) * C.g * d50)
+                                      ** 1.5)
+        eta_m = jnp.where(chi <= 2.0, Ab * 0.30 * chi ** (-0.39),
+                          Ab * 0.45 * chi ** (-0.99))
+        lam_m = jnp.where(chi <= 2.0, Ab * 1.96 * chi ** (-0.28),
+                          Ab * 2.71 * chi ** (-0.75))
+        kbs = Ab * 0.0655 * (Ub * Ub / ((ss - 1.0) * C.g * Ab)) ** 1.4
+        znot_mb = (d50 + 2.3 * eta_m + kbs) / 30.0
+        moving = shld / shldcr > 1.0
+        znot = jnp.where(moving, znot_mb, p.zob)
+        rheight = jnp.where(moving, eta_m, 0.0)
+        rlength = jnp.where(moving, lam_m, 0.0)
+    else:
+        znot = p.zob * jnp.ones_like(Umag)
+        chi = 4.0 * p.nu * Ub * Ub / (d50 * ((ss - 1.0) * C.g * d50)
+                                      ** 1.5)
+        rheight = jnp.where(chi <= 2.0, Ab * 0.32 * chi ** (-0.34),
+                            Ab * 0.52 * chi ** (-1.01))
+        rlength = jnp.where(chi <= 2.0, Ab * 2.04 * chi ** (-0.23),
+                            Ab * 2.7 * chi ** (-0.78))
+
+    # --- wave-current solution (sg_bstress bisection) ---
+    row = Ab / znot
+    zrozn = Zr / znot
+    ubokur = Ub / (vonKar * Umag)
+    # pure-wave upper bound via sg_purewave fixed point
+    abokb = Ab / (30.0 * znot)
+    fwm = jnp.where(abokb <= 100.0,
+                    jnp.exp(-8.82 + 7.02 *
+                            jnp.maximum(abokb, 0.1) ** (-0.078)),
+                    jnp.exp(-7.30 + 5.61 * abokb ** (-0.109)))
+    ubouwm = jnp.sqrt(2.0 / fwm)
+    for _ in range(p.n_iter):
+        ubouwm = 1.0 / _sg_phi(ubouwm, row)
+
+    a1 = jnp.full_like(Umag, 1.0e-6)
+    b1 = ubouwm
+    _, _, fofa, _ = _sg_mu_eps_fofx(a1, row, zrozn, phicw, ubokur)
+    fofb = -fofa
+    c1 = 0.5 * (a1 + b1)
+    for _ in range(p.n_iter):
+        mu, epsilon, fofc, c1c = _sg_mu_eps_fofx(c1, row, zrozn, phicw,
+                                                 ubokur)
+        opposite = fofb * fofc < 0.0
+        a1 = jnp.where(opposite, c1, a1)
+        b1 = jnp.where(opposite, b1, c1)
+        c1 = 0.5 * (a1 + b1)
+    mu, epsilon, _, ubouc = _sg_mu_eps_fofx(c1, row, zrozn, phicw,
+                                            ubokur)
+
+    ustarcw = Ub / jnp.maximum(ubouc, _EPS)
+    ustarwm = mu * ustarcw
+    ustarc = jnp.maximum(jnp.sqrt(TauC0), epsilon * ustarcw)
+    both = (Umag > 1e-6) & (Ub > 1e-4) & (zrozn > 1.0)
+    TauC = jnp.where(both, ustarc * ustarc, TauC0)
+    TauW = jnp.where(both, ustarwm * ustarwm, 0.5 * fwm * Ub * Ub)
+    TauCWmax = jnp.where(
+        both,
+        jnp.sqrt((TauC + TauW * jnp.cos(phicw)) ** 2 +
+                 (TauW * jnp.sin(phicw)) ** 2),
+        jnp.maximum(TauC, TauW))
+
+    anglec_u = Ur / jnp.maximum(at_u(Umag), _EPS)
+    bustr = at_u(TauC) * anglec_u * grid.umask
+    anglec_v = Vr / jnp.maximum(at_v(Umag), _EPS)
+    bvstr = at_v(TauC) * anglec_v * grid.vmask
+    return bustr, bvstr, TauC, TauW, TauCWmax, rheight, rlength

@@ -115,6 +115,15 @@ def step(cfg: Config, grid: Grid, state: State,
             frc.get("Pwave", zero2f + 8.0),
             frc.get("Dwave", zero2f),
             state.rheight, state.rlength, state.tau_cwmax)
+    elif cfg.bbl == "sg":
+        from .ops.bbl import bblm_sg, SGBBLParams
+        bp = cfg.bbl_params or SGBBLParams()
+        zero2f = jnp.zeros_like(grid.h)
+        bustr, bvstr, _, _, tau_cwmax, rheight, rlength = bblm_sg(
+            cfg, grid, bp, state.u, state.v, z_r, z_w, rho[0],
+            frc.get("Hwave", zero2f),
+            frc.get("Pwave", zero2f + 8.0),
+            frc.get("Dwave", zero2f))
     elif cfg.bbl == "mb":
         from .ops.bbl import bblm_mb, MBBBLParams
         bp = cfg.bbl_params or MBBBLParams()

@@ -202,3 +202,48 @@ def test_mb_bbl_sheet_flow_flattens_ripples():
                   jnp.full(shp, 0.10))
     _, _, _, _, _, rh, rl = out
     np.testing.assert_allclose(np.asarray(rh), 0.0, atol=1e-12)
+
+
+# =====================================================================
+# SG_BBL (sg_bbl.h)
+# =====================================================================
+
+from roms_tpu.ops.bbl import SGBBLParams, bblm_sg, _kelvin8m, _kelvin8p
+
+
+def test_kelvin_functions_check_values():
+    # Abramowitz & Stegun 9.11 small-argument values at x=1
+    ber, bei, ker, kei, berp, beip, kerp, keip = _kelvin8m(
+        jnp.asarray(1.0))
+    np.testing.assert_allclose(float(ber), 0.98438, atol=2e-5)
+    np.testing.assert_allclose(float(bei), 0.24957, atol=2e-5)
+    np.testing.assert_allclose(float(ker), 0.28671, atol=2e-5)
+    np.testing.assert_allclose(float(kei), -0.49499, atol=2e-5)
+    # the two branches agree at the x=8 splice
+    m = _kelvin8m(jnp.asarray(8.0))
+    p = _kelvin8p(jnp.asarray(8.0))
+    for a, b in zip(m[2:4], p[2:4]):        # ker/kei (decaying: tight)
+        np.testing.assert_allclose(float(a), float(b), rtol=2e-3,
+                                   atol=1e-6)
+
+
+def test_sg_bbl_wave_enhancement():
+    cfg = None
+    p = SGBBLParams()
+    g, z_r, z_w = _mb_setup(depth=10.0)
+    shp = g.h.shape
+    u = jnp.full((5,) + shp, 0.3)
+    v = jnp.zeros((5,) + shp)
+    rho = jnp.full(shp, 25.0)
+    out0 = bblm_sg(cfg, g, p, u, v, z_r, z_w, rho,
+                   jnp.zeros(shp), jnp.full(shp, 8.0), jnp.zeros(shp))
+    out1 = bblm_sg(cfg, g, p, u, v, z_r, z_w, rho,
+                   jnp.full(shp, 2.0), jnp.full(shp, 8.0),
+                   jnp.zeros(shp))
+    for o in out1:
+        assert np.isfinite(np.asarray(o)).all()
+    # combined max stress with waves beats the current-only stress
+    assert float(out1[4].min()) > float(out0[2].max())
+    # wave stress present and ripples predicted on a mobile sandy bed
+    assert float(out1[3].min()) > 0.0
+    assert float(out1[5].max()) > 0.0
