@@ -153,6 +153,11 @@ class Config:
     # biological source/sink model (biology.F plugin slot):
     # None | "npzd_powell"; ibio maps (NO3, Phyt, Zoop, SDet) to tracer
     # indices; bio_params is an ops.biology.NPZDParams (hashable).
+    # TIDE_GENERATING_FORCES: equilibrium-tide surface-pressure body
+    # force (equilibrium_tide.F); tide_ref_datenum is the tidal
+    # reference time as a utils.dateclock day number (Rclock analog)
+    tide_gen_forces: bool = False
+    tide_ref_datenum: float = 2451545.0
     biology: Optional[str] = None
     ibio: Tuple[int, ...] = (2, 3, 4, 5)
     bio_params: Optional[object] = None

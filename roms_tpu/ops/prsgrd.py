@@ -36,8 +36,11 @@ def _harm_clamped(a, b):
     return jnp.where(cff > _EPS, cff / safe, 0.0)
 
 
-def prsgrd32(cfg: Config, grid, rho, z_r, z_w, Hz):
-    """Splines density-Jacobian pressure gradient (prsgrd32.h:119-285)."""
+def prsgrd32(cfg: Config, grid, rho, z_r, z_w, Hz, eq_tide=None):
+    """Splines density-Jacobian pressure gradient (prsgrd32.h:119-285).
+
+    eq_tide: equilibrium tidal elevation (TIDE_GENERATING_FORCES);
+    subtracted from the surface pressure (prsgrd32.h:271)."""
     g = C.g
     GRho = g / cfg.rho0
     HalfGRho = 0.5 * GRho
@@ -56,6 +59,8 @@ def prsgrd32(cfg: Config, grid, rho, z_r, z_w, Hz):
     zwN = z_w[-1]
     cff2 = 0.5 * (rho[-1] - rho[-2]) * (zwN - z_r[-1]) / (z_r[-1] - z_r[-2])
     P_top = g * zwN + GRho * (rho[-1] + cff2) * (zwN - z_r[-1])
+    if eq_tide is not None:
+        P_top = P_top - g * eq_tide
     # increment between rho levels k and k+1 (index 0..N-2)
     inc = HalfGRho * (
         (rho[1:] + rho[:-1]) * (z_r[1:] - z_r[:-1]) -
@@ -374,9 +379,14 @@ _SCHEMES = {"djs": prsgrd32, "dj": prsgrd31, "pj": prsgrd40,
             "pjq2": prsgrd42, "pjq4": prsgrd44}
 
 
-def prsgrd(cfg: Config, grid, rho, z_r, z_w, Hz):
+def prsgrd(cfg: Config, grid, rho, z_r, z_w, Hz, eq_tide=None):
     try:
         fn = _SCHEMES[cfg.prsgrd_scheme]
     except KeyError:
         raise ValueError(f"unknown prsgrd scheme {cfg.prsgrd_scheme}")
+    if eq_tide is not None:
+        if cfg.prsgrd_scheme != "djs":
+            raise ValueError("TIDE_GENERATING_FORCES is wired into the "
+                             "default djs (prsgrd32) scheme only")
+        return fn(cfg, grid, rho, z_r, z_w, Hz, eq_tide=eq_tide)
     return fn(cfg, grid, rho, z_r, z_w, Hz)

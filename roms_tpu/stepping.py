@@ -170,7 +170,14 @@ def step(cfg: Config, grid: Grid, state: State,
         srflx=srflx, ghats=ghats, swdk_w=swdk_w,
         sources=frc.get("sources", None))
 
-    ru, rv = prsgrd.prsgrd(cfg, grid, rho, z_r, z_w, Hz)
+    eq_tide = None
+    if cfg.tide_gen_forces:
+        # equilibrium-tide body force (main3d.F equilibrium_tide call)
+        from .ops.tides import equilibrium_tide, harmonic_constituents
+        hcon = harmonic_constituents(cfg.tide_ref_datenum)
+        eq_tide = equilibrium_tide(grid, state.time, hcon)
+    ru, rv = prsgrd.prsgrd(cfg, grid, rho, z_r, z_w, Hz,
+                           eq_tide=eq_tide)
 
     t_nnew_premix = t_nnew if collect_diags else None
     if any(x != 0.0 for x in cfg.tnu2):
