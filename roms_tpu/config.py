@@ -153,6 +153,11 @@ class Config:
     # biological source/sink model (biology.F plugin slot):
     # None | "npzd_powell"; ibio maps (NO3, Phyt, Zoop, SDet) to tracer
     # indices; bio_params is an ops.biology.NPZDParams (hashable).
+    # AGE_MEAN + T_PASSIVE inert tracer pairs (step3d_t.F:1507-1539;
+    # Zhang et al. 2010): (conservative_index, age_index) tuples; the
+    # age concentration is forced by dt * conservative concentration
+    # each step (mean age = age / conservative at output time)
+    inert_age: Tuple[Tuple[int, int], ...] = ()
     # TIDE_GENERATING_FORCES: equilibrium-tide surface-pressure body
     # force (equilibrium_tide.F); tide_ref_datenum is the tidal
     # reference time as a utils.dateclock day number (Rclock analog)

@@ -343,6 +343,11 @@ def step(cfg: Config, grid: Grid, state: State,
     else:
         t2 = res
 
+    # --- mean-age inert tracer pairs (AGE_MEAN; step3d_t.F:1507-1539):
+    #     age concentration forced by the conservative partner ---
+    for (icons, iage) in cfg.inert_age:
+        t2 = t2.at[iage].add(cfg.dt * t2[icons])
+
     # --- biological source/sink terms (main3d.F biology call) ---
     if cfg.biology is not None:
         from .ops.biology import apply_biology

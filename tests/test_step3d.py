@@ -112,3 +112,31 @@ def test_restart_equivalence(upw):
     for a, b in zip(jax.tree_util.tree_leaves(sA),
                     jax.tree_util.tree_leaves(sB)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mean_age_tracer_pair():
+    """AGE_MEAN inert pair: with a uniform conservative tracer C=1 the
+    age concentration grows by dt*C per step, so mean age = n*dt
+    (step3d_t.F:1507-1539, Zhang et al. 2010)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from roms_tpu.models import upwelling
+    from roms_tpu import stepping
+    cfg, grid, st, ffn = upwelling.build()
+    cfg = cfg.replace(ntracers=4, inert_age=((2, 3),),
+                      t_hadv=4 * ("U3",), t_vadv=4 * ("C4",),
+                      tnu2=(0.0,) * 4, akt_bak=(1e-6,) * 4)
+    t4 = jnp.concatenate([st.t, jnp.ones_like(st.t[:1]),
+                          jnp.zeros_like(st.t[:1])])
+    st = st.replace(t=t4, Akt=jnp.concatenate(
+        [st.Akt, st.Akt[:1], st.Akt[:1]]))
+    stepf = jax.jit(lambda s: stepping.step(cfg, grid, s, ffn))
+    for n in range(3):
+        st = stepf(st)
+    H = cfg.halo
+    itr = (slice(None), slice(H, H + cfg.Mm), slice(H, H + cfg.Lm))
+    C = np.asarray(st.t[2])[itr]
+    A = np.asarray(st.t[3])[itr]
+    np.testing.assert_allclose(C, 1.0, atol=1e-9)       # constancy
+    np.testing.assert_allclose(A / C, 3 * cfg.dt, rtol=1e-7)
