@@ -58,25 +58,85 @@ REGISTRY = {
                            "millimole_N meter-3", "r3"),
     "detritus": VarInfo("detritus", "detritus concentration",
                         "millimole_N meter-3", "r3"),
+    # additional standard output fields (varinfo.yaml entries)
+    "AKt": VarInfo("AKt", "temperature vertical diffusion coefficient",
+                   "meter2 second-1", "w3"),
+    "AKs": VarInfo("AKs", "salinity vertical diffusion coefficient",
+                   "meter2 second-1", "w3"),
+    "tke": VarInfo("tke", "turbulent kinetic energy",
+                   "meter2 second-2", "w3"),
+    "gls": VarInfo("gls", "turbulent generic length-scale",
+                   "meter3 second-2", "w3"),
+    "Lscale": VarInfo("Lscale", "turbulent length scale", "meter", "w3"),
+    "hbbl": VarInfo("hbbl", "depth of oceanic bottom boundary layer",
+                    "meter", "r2"),
+    "w": VarInfo("w", "vertical momentum component", "meter second-1",
+                 "w3"),
+    "omega": VarInfo("omega", "S-coordinate vertical momentum component",
+                     "meter3 second-1", "w3"),
+    "rho": VarInfo("rho", "density anomaly", "kilogram meter-3", "r3"),
+    "sustr": VarInfo("sustr", "surface u-momentum stress",
+                     "newton meter-2", "u2"),
+    "svstr": VarInfo("svstr", "surface v-momentum stress",
+                     "newton meter-2", "v2"),
+    "bustr": VarInfo("bustr", "bottom u-momentum stress",
+                     "newton meter-2", "u2"),
+    "bvstr": VarInfo("bvstr", "bottom v-momentum stress",
+                     "newton meter-2", "v2"),
+    "shflux": VarInfo("shflux", "surface net heat flux", "watt meter-2",
+                      "r2"),
+    "ssflux": VarInfo("ssflux", "surface net salt flux",
+                      "meter second-1", "r2"),
+    "swrad": VarInfo("swrad", "solar shortwave radiation flux",
+                     "watt meter-2", "r2"),
+    "lon_rho": VarInfo("lon_rho", "longitude of RHO-points", "degree_east",
+                       "r2", time=False),
+    "lat_rho": VarInfo("lat_rho", "latitude of RHO-points", "degree_north",
+                       "r2", time=False),
+    "angle": VarInfo("angle", "angle between XI-axis and EAST", "radians",
+                     "r2", time=False),
+    "mask_rho": VarInfo("mask_rho", "mask on RHO-points", "nondimensional",
+                        "r2", time=False),
+    "rheight": VarInfo("rheight", "bed ripple height", "meter", "r2"),
+    "rlength": VarInfo("rlength", "bed ripple length", "meter", "r2"),
 }
 
-_NPZD_NAMES = ("NO3", "phytoplankton", "zooplankton", "detritus")
-
+# per-model biology output names, in cfg.ibio order (the reference's
+# <model>_var.h idTvar name assignments)
+_BIO_NAMES = {
+    "npzd_powell": ("NO3", "phytoplankton", "zooplankton", "detritus"),
+    "npzd_franks": ("NO3", "phytoplankton", "zooplankton", "detritus"),
+    "npzd_iron": ("NO3", "phytoplankton", "zooplankton", "detritus",
+                  "iron", "phytoplanktonFe"),
+    "fennel": ("NO3", "NH4", "chlorophyll", "phytoplankton",
+               "zooplankton", "LdetritusN", "SdetritusN", "PO4",
+               "LdetritusC", "SdetritusC", "TIC", "alkalinity",
+               "oxygen"),
+    "nemuro": ("nanophytoplankton", "diatom", "microzooplankton",
+               "mesozooplankton", "Pzooplankton", "NO3", "NH4", "PON",
+               "DON", "SiOH4", "opal"),
+    "hypoxia_srm": ("oxygen",),
+    "red_tide": ("dinoflagellate",),
+}
 
 def tracer_names(cfg):
     """Output names for every tracer index (mod_ncparam idTvar analog):
-    temp, salt, then biology names (cfg.ibio order) or generic
-    tracerN, with VarInfo entries registered on the fly."""
+    temp, salt, then the biology model's names (cfg.ibio order) or
+    generic tracerN, with VarInfo entries registered on the fly."""
     names = {}
     if cfg.ntracers >= 1:
         names[0] = "temp"
     if cfg.ntracers >= 2:
         names[1] = "salt"
-    bio = dict(zip(cfg.ibio, _NPZD_NAMES)) if cfg.biology else {}
+    bio_names = _BIO_NAMES.get(cfg.biology, ())
+    bio = dict(zip(cfg.ibio, bio_names)) if cfg.biology else {}
     for i in range(2, cfg.ntracers):
         nm = bio.get(i, f"tracer{i}")
         if nm not in REGISTRY:
-            REGISTRY[nm] = VarInfo(nm, f"passive tracer {i}",
-                                   "nondimensional", "r3")
+            long = (f"passive tracer {i}" if nm.startswith("tracer")
+                    else nm + " concentration")
+            REGISTRY[nm] = VarInfo(nm, long, "millimole meter-3"
+                                   if not nm.startswith("tracer")
+                                   else "nondimensional", "r3")
         names[i] = nm
     return names
