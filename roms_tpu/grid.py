@@ -39,6 +39,7 @@ class Grid:
     pmask: jax.Array
     dndx: jax.Array     # d(1/pn)/dxi at rho (curvilinear terms)
     dmde: jax.Array     # d(1/pm)/deta at rho
+    angler: jax.Array   # grid rotation angle at rho (rad; get_grid.F angler)
     # vertical coordinate tables
     sc_r: jax.Array
     Cs_r: jax.Array
@@ -283,7 +284,8 @@ def build_spherical_grid(cfg: Config, lon_size: float, lat_min: float,
                      rmask, rmask.copy(), rmask.copy(), rmask.copy())
 
 
-def _assemble(cfg: Config, h, f, pm, pn, xr, yr, rmask, umask, vmask, pmask):
+def _assemble(cfg: Config, h, f, pm, pn, xr, yr, rmask, umask, vmask, pmask,
+              angler=None):
     # curvilinear curvature terms (metrics.F: dndx = d(1/pn)/dxi at rho, via
     # centered difference of u/v-point values; uniform grids give zero)
     if cfg.curvgrid:
@@ -316,6 +318,8 @@ def _assemble(cfg: Config, h, f, pm, pn, xr, yr, rmask, umask, vmask, pmask):
         xr=jnpa(xr), yr=jnpa(yr),
         rmask=jnpa(rmask), umask=jnpa(umask), vmask=jnpa(vmask),
         pmask=jnpa(pmask), dndx=jnpa(dndx), dmde=jnpa(dmde),
+        angler=jnpa(np.zeros_like(h) if angler is None
+                    else _fill_closed_halo(cfg, angler)),
         sc_r=jnpa(sc_r), Cs_r=jnpa(Cs_r), sc_w=jnpa(sc_w), Cs_w=jnpa(Cs_w),
         weight1=jnpa(w1), weight2=jnpa(w2),
         visc_factor=jnpa(np.ones_like(h)), diff_factor=jnpa(np.ones_like(h)),

@@ -2,9 +2,9 @@
 ana_grid/ana_initial/ana_smflux fixtures; runtime values from the matching
 roms_*.in scripts).
 
-Each builder returns (cfg, grid, state0, forcing_fn).  Cases using
-biharmonic mixing in the reference currently run with the harmonic
-operator (uv3dmix4/t3dmix4 planned); coefficients noted per case.
+Each builder returns (cfg, grid, state0, forcing_fn).  Biharmonic cases
+use the biharmonic operators (uv_vis4/visc4, ts_dif4/tnu4 wired to
+ops/mix3d.uv3dmix4/t3dmix4); coefficients noted per case.
 """
 
 from __future__ import annotations

@@ -250,11 +250,18 @@ def step(cfg: Config, grid: Grid, state: State,
         DU_avg2=zero2, DV_avg2=zero2)
     bry = frc.get("bry", None)
     sources = frc.get("sources", None)
-    fs, rufrc_c, rvfrc_c, wet = fast_loop(
-        cfg, grid, fs, rufrc=rufrc, rvfrc=rvfrc,
-        ru0_nm1=state.rufrc0_prev, ru0_nm2=state.rufrc0_prev2,
-        rv0_nm1=state.rvfrc0_prev, rv0_nm2=state.rvfrc0_prev2,
-        iic=state.iic, bry=bry, sources=sources, clm=clm)
+    from .ops import step2d_pallas
+    if step2d_pallas.use_pallas(cfg, bry, sources, clm):
+        fs, rufrc_c, rvfrc_c, wet = step2d_pallas.fast_loop_fused(
+            cfg, grid, fs, rufrc, rvfrc,
+            state.rufrc0_prev, state.rufrc0_prev2,
+            state.rvfrc0_prev, state.rvfrc0_prev2, state.iic)
+    else:
+        fs, rufrc_c, rvfrc_c, wet = fast_loop(
+            cfg, grid, fs, rufrc=rufrc, rvfrc=rvfrc,
+            ru0_nm1=state.rufrc0_prev, ru0_nm2=state.rufrc0_prev2,
+            rv0_nm1=state.rvfrc0_prev, rv0_nm2=state.rvfrc0_prev2,
+            iic=state.iic, bry=bry, sources=sources, clm=clm)
 
     # --- new depths from the filtered free surface (main3d.F:736) ---
     z_r2, z_w2, Hz2 = vgrid.set_depth(grid.h, fs.Zt_avg1, hc, grid.sc_r,

@@ -47,6 +47,27 @@ def build_from_yaml(path: str):
 
 def build_from_dict(doc: dict):
     case = doc.get("case", "upwelling")
+    if case == "file":
+        # file-driven domain (get_grid/get_state path): grid_file is the
+        # GRDNAME analog, ini_file the ININAME analog (io/gridfile.py)
+        from ..io import gridfile
+        cfg, grid = None, None
+        overrides = dict(doc.get("config", {}) or {})
+        grid_path = doc.get("grid_file")
+        if not grid_path:
+            raise ValueError("case 'file' requires grid_file")
+        grid, cfg = gridfile.load_grid(grid_path, **overrides)
+        ini_path = doc.get("ini_file")
+        if ini_path:
+            from ..io.gridfile import load_state
+            state0 = load_state(cfg, ini_path, rec=doc.get("ini_rec", -1))
+        else:
+            from ..state import initial_state
+            state0 = initial_state(cfg)
+        run_opts = dict(doc.get("output", {}) or {})
+        run_opts["nsteps"] = int(doc.get("nsteps", 0))
+        run_opts["mode"] = "3d"
+        return cfg, grid, state0, None, run_opts
     if case not in CASES:
         raise ValueError(f"unknown case '{case}'; known: {sorted(CASES)}")
     modname, buildname, mkcfgname = CASES[case]

@@ -14,6 +14,8 @@ from roms_tpu.models import upwelling
 from roms_tpu import stepping
 from roms_tpu.parallel import shard
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_partition_invariance_upwelling():

@@ -16,6 +16,8 @@ from roms_tpu.grid import hc_of
 from roms_tpu.models import upwelling
 from roms_tpu.ops import eos, prsgrd
 
+pytestmark = pytest.mark.smoke
+
 SCHEMES = ["djs", "dj", "pj", "pjq2", "pjq4"]
 
 

@@ -9,6 +9,8 @@ import pytest
 from roms_tpu.models import soliton
 from roms_tpu.ops import step2d
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def soliton_setup():

@@ -15,6 +15,8 @@ from roms_tpu.models import upwelling
 from roms_tpu import stepping
 from roms_tpu.utils import diag
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def upw():

@@ -4,6 +4,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from roms_tpu import vgrid
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def test_scoord_vstretching4_endpoints():

@@ -8,6 +8,9 @@ centroid 1, primary second moment 1, secondary centroid ~1/2, both sums 1.
 import numpy as np
 
 from roms_tpu.grid import build_weights
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def moments(ndtfast):
