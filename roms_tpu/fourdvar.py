@@ -80,14 +80,21 @@ def _make_ops(cfg: Config, grid: Grid, background: State,
     """Shared 4D-Var building blocks: the sampled trajectory operator
     H∘M, the sigma-scaled observation vector, and increment helpers."""
 
+    def sample(ob, state: State):
+        # fractional-coordinate obs (obs.FracObs, the extract_obs.F
+        # path) carry their own sampler; integer-index Obs index the
+        # padded field directly
+        if hasattr(ob, "sample"):
+            return ob.sample(cfg, state)
+        return getattr(state, ob.field)[ob.idx]
+
     def traj_obs(state: State):
         out = []
         for n in range(nsteps):
             state = stepping.step(cfg, grid, state, forcing_fn)
             for ob in obs:
                 if ob.step == n + 1:
-                    f = getattr(state, ob.field)
-                    out.append(f[ob.idx] / ob.sigma)
+                    out.append(sample(ob, state) / ob.sigma)
         return jnp.concatenate([jnp.ravel(o) for o in out])
 
     y_scaled = jnp.concatenate(

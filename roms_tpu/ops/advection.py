@@ -65,17 +65,15 @@ def hadv_fluxes(cfg: Config, scheme: str, q, Huon, Hvom,
             # inflow edges: zero gradient/Ka beyond the boundary
             # (step3d_t.F HSIMT west/east special cases)
             inflow_w = Huon[..., :, H:H + 1] >= 0.0
-            gradX = gradX.at[..., :, H - 1].set(
-                jnp.where(inflow_w[..., :, 0], 0.0, gradX[..., :, H - 1]))
-            KaX = KaX.at[..., :, H - 1].set(
-                jnp.where(inflow_w[..., :, 0], 0.0, KaX[..., :, H - 1]))
+            gradX = bc.set_col(gradX, H - 1, jnp.where(
+                inflow_w[..., :, 0], 0.0, gradX[..., :, H - 1]), "west")
+            KaX = bc.set_col(KaX, H - 1, jnp.where(
+                inflow_w[..., :, 0], 0.0, KaX[..., :, H - 1]), "west")
             inflow_e = Huon[..., :, H + L:H + L + 1] < 0.0
-            gradX = gradX.at[..., :, H + L + 1].set(
-                jnp.where(inflow_e[..., :, 0], 0.0,
-                          gradX[..., :, H + L + 1]))
-            KaX = KaX.at[..., :, H + L + 1].set(
-                jnp.where(inflow_e[..., :, 0], 0.0,
-                          KaX[..., :, H + L + 1]))
+            gradX = bc.set_col(gradX, H + L + 1, jnp.where(
+                inflow_e[..., :, 0], 0.0, gradX[..., :, H + L + 1]), "east")
+            KaX = bc.set_col(KaX, H + L + 1, jnp.where(
+                inflow_e[..., :, 0], 0.0, KaX[..., :, H + L + 1]), "east")
         sw_pos = _hsimt_sw(im1(q), q, gradX, im1(gradX), KaX, im1(KaX))
         sw_neg = _hsimt_sw(q, im1(q), -gradX, -ip1(gradX), KaX, ip1(KaX))
         FX = jnp.where(Huon >= 0.0, sw_pos, sw_neg) * Huon
@@ -85,17 +83,15 @@ def hadv_fluxes(cfg: Config, scheme: str, q, Huon, Hvom,
         gradE = q - jm1(q)
         if not cfg.ns_periodic:
             inflow_s = Hvom[..., H:H + 1, :] >= 0.0
-            gradE = gradE.at[..., H - 1, :].set(
-                jnp.where(inflow_s[..., 0, :], 0.0, gradE[..., H - 1, :]))
-            KaE = KaE.at[..., H - 1, :].set(
-                jnp.where(inflow_s[..., 0, :], 0.0, KaE[..., H - 1, :]))
+            gradE = bc.set_row(gradE, H - 1, jnp.where(
+                inflow_s[..., 0, :], 0.0, gradE[..., H - 1, :]), "south")
+            KaE = bc.set_row(KaE, H - 1, jnp.where(
+                inflow_s[..., 0, :], 0.0, KaE[..., H - 1, :]), "south")
             inflow_n = Hvom[..., H + M:H + M + 1, :] < 0.0
-            gradE = gradE.at[..., H + M + 1, :].set(
-                jnp.where(inflow_n[..., 0, :], 0.0,
-                          gradE[..., H + M + 1, :]))
-            KaE = KaE.at[..., H + M + 1, :].set(
-                jnp.where(inflow_n[..., 0, :], 0.0,
-                          KaE[..., H + M + 1, :]))
+            gradE = bc.set_row(gradE, H + M + 1, jnp.where(
+                inflow_n[..., 0, :], 0.0, gradE[..., H + M + 1, :]), "north")
+            KaE = bc.set_row(KaE, H + M + 1, jnp.where(
+                inflow_n[..., 0, :], 0.0, KaE[..., H + M + 1, :]), "north")
         sw_pos = _hsimt_sw(jm1(q), q, gradE, jm1(gradE), KaE, jm1(KaE))
         sw_neg = _hsimt_sw(q, jm1(q), -gradE, -jp1(gradE), KaE, jp1(KaE))
         FE = jnp.where(Hvom >= 0.0, sw_pos, sw_neg) * Hvom

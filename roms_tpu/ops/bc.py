@@ -13,11 +13,63 @@ south a=H-1 / v-wall a=H, north a=H+Mm.
 
 from __future__ import annotations
 
+import threading
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
 import jax.numpy as jnp
 
 from ..config import (Config, BC_PERIODIC, BC_CLOSED, BC_GRADIENT,
                       BC_CLAMPED, BC_RADIATION, BC_CHAPMAN_EXPLICIT,
                       BC_CHAPMAN_IMPLICIT, BC_FLATHER, LBC)
+
+
+# ---------------------------------------------------------------------------
+# Parallel context: inside a shard_map region every op works on a LOCAL
+# halo-padded block.  Halo refreshes become ppermute ring exchanges
+# (parallel/halo.py, the mp_exchange analog) and global-boundary writes
+# are masked so only the shard owning that physical edge applies them
+# (the reference's DOMAIN(ng)%Western_Edge(tile) tests).  Single-device
+# code never sets a context and takes the original paths unchanged.
+# ---------------------------------------------------------------------------
+@dataclass
+class ParCtx:
+    """Traced edge-ownership flags (0-d bool arrays) + mesh axis names."""
+    west: object
+    east: object
+    south: object
+    north: object
+    axes: tuple = ("eta", "xi")
+
+
+_TLS = threading.local()
+
+
+def push_ctx(ctx: ParCtx):
+    _TLS.ctx = ctx
+
+
+def pop_ctx():
+    _TLS.ctx = None
+
+
+def current_ctx() -> Optional[ParCtx]:
+    return getattr(_TLS, "ctx", None)
+
+
+def _owns(ctx: ParCtx, side: str):
+    return getattr(ctx, side)
+
+
+def _col_mask(f, a):
+    nx = f.shape[-1]
+    return jnp.arange(nx) == (a % nx)
+
+
+def _row_mask(f, a):
+    ny = f.shape[-2]
+    return (jnp.arange(ny) == (a % ny))[:, None]
 
 _ADVANCED = {BC_RADIATION, BC_CHAPMAN_EXPLICIT, BC_CHAPMAN_IMPLICIT,
              BC_FLATHER, BC_CLAMPED}
@@ -41,7 +93,14 @@ def fill_halo(cfg: Config, f):
     Replicated cells are never read by valid stencil math (kernels apply the
     reference's one-sided edge corrections), they only keep the halo free of
     stale values.  Works on any [..., j, i] array.
+
+    Under a ParCtx (shard_map region) the wrap/replication becomes a
+    two-phase ring ppermute exchange plus edge replication on the shards
+    owning a closed physical boundary (mp_exchange2d/3d semantics).
     """
+    ctx = current_ctx()
+    if ctx is not None:
+        return _fill_halo_sharded(cfg, f, ctx)
     H = cfg.halo
     L, M = cfg.Lm, cfg.Mm
     if cfg.ew_periodic:
@@ -65,15 +124,94 @@ def fill_halo(cfg: Config, f):
     return f
 
 
-# ---------------------------------------------------------------------------
-# Per-side appliers for 2-D (and leading-dim batched) fields
-# ---------------------------------------------------------------------------
-def _set_col(f, a_dst, values):
-    return f.at[..., :, a_dst].set(values)
+def _fill_halo_sharded(cfg: Config, f, ctx: ParCtx):
+    """Sharded halo refresh mirroring the single-device fill_halo exactly:
+    xi phase (exchange + closed-edge fix) then eta phase, so corners ride
+    the second exchange (mp_exchange.F:413,538 two-phase ordering).
+
+    On a closed axis the boundary rho ring (local col H-1 / nx-H on the
+    edge shards) sits inside the exchanged halo strip; it is real data
+    written by apply_bc_*, so it is snapshotted before the exchange and
+    restored after, then the outer halo replicates from it."""
+    from ..parallel import halo
+    H = cfg.halo
+    ny, nx = f.shape[-2], f.shape[-1]
+
+    # ---- xi (W-E) phase ----
+    if not cfg.ew_periodic:
+        wring = f[..., :, H - 1:H]
+        ering = f[..., :, nx - H:nx - H + 1]
+    f = halo.exchange_axis(f, ctx.axes[1], H, axis=-1)
+    if not cfg.ew_periodic:
+        ii = jnp.arange(nx)
+        f = jnp.where(ctx.west & (ii <= H - 1), wring, f)
+        f = jnp.where(ctx.east & (ii >= nx - H), ering, f)
+
+    # ---- eta (S-N) phase (ships the xi-filled corners) ----
+    if not cfg.ns_periodic:
+        sring = f[..., H - 1:H, :]
+        nring = f[..., ny - H:ny - H + 1, :]
+    f = halo.exchange_axis(f, ctx.axes[0], H, axis=-2)
+    if not cfg.ns_periodic:
+        jj = jnp.arange(ny)[:, None]
+        f = jnp.where(ctx.south & (jj <= H - 1), sring, f)
+        f = jnp.where(ctx.north & (jj >= ny - H), nring, f)
+    return f
 
 
-def _set_row(f, a_dst, values):
-    return f.at[..., a_dst, :].set(values)
+# ---------------------------------------------------------------------------
+# Per-side appliers for 2-D (and leading-dim batched) fields.  The `side`
+# tells the sharded path which shard owns the write; single-device mode
+# ignores it.  These are the shared primitives for every boundary write
+# in the ops modules (set_col/set_row public aliases).
+# ---------------------------------------------------------------------------
+def _colvals(values):
+    # `values` broadcasts against f[..., :, a] (trailing axis = eta);
+    # re-insert the xi axis so it broadcasts against f itself
+    vals = jnp.asarray(values)
+    return vals if vals.ndim == 0 else vals[..., None]
+
+
+def _rowvals(values):
+    vals = jnp.asarray(values)
+    return vals if vals.ndim == 0 else vals[..., None, :]
+
+
+def _set_col(f, a_dst, values, side=None):
+    ctx = current_ctx()
+    if ctx is None or side is None:
+        return f.at[..., :, a_dst].set(values)
+    return jnp.where(_owns(ctx, side) & _col_mask(f, a_dst),
+                     _colvals(values), f)
+
+
+def _set_row(f, a_dst, values, side=None):
+    ctx = current_ctx()
+    if ctx is None or side is None:
+        return f.at[..., a_dst, :].set(values)
+    return jnp.where(_owns(ctx, side) & _row_mask(f, a_dst),
+                     _rowvals(values), f)
+
+
+set_col = _set_col
+set_row = _set_row
+
+
+def add_col(f, a_dst, delta, side=None):
+    """f[..., :, a] += delta, edge-shard-gated under a ParCtx."""
+    ctx = current_ctx()
+    if ctx is None or side is None:
+        return f.at[..., :, a_dst].add(delta)
+    return f + jnp.where(_owns(ctx, side) & _col_mask(f, a_dst),
+                         _colvals(delta), 0.0)
+
+
+def add_row(f, a_dst, delta, side=None):
+    ctx = current_ctx()
+    if ctx is None or side is None:
+        return f.at[..., a_dst, :].add(delta)
+    return f + jnp.where(_owns(ctx, side) & _row_mask(f, a_dst),
+                         _rowvals(delta), 0.0)
 
 
 def apply_bc_rho(cfg: Config, lbc: LBC, f, mask=None, clamp=None):
@@ -83,22 +221,22 @@ def apply_bc_rho(cfg: Config, lbc: LBC, f, mask=None, clamp=None):
     L, M = cfg.Lm, cfg.Mm
     if not cfg.ew_periodic:
         if lbc.west in (BC_CLOSED, BC_GRADIENT):
-            f = _set_col(f, H - 1, f[..., :, H])
+            f = _set_col(f, H - 1, f[..., :, H], "west")
         elif lbc.west == BC_CLAMPED and clamp is not None:
-            f = _set_col(f, H - 1, clamp["west"])
+            f = _set_col(f, H - 1, clamp["west"], "west")
         if lbc.east in (BC_CLOSED, BC_GRADIENT):
-            f = _set_col(f, H + L, f[..., :, H + L - 1])
+            f = _set_col(f, H + L, f[..., :, H + L - 1], "east")
         elif lbc.east == BC_CLAMPED and clamp is not None:
-            f = _set_col(f, H + L, clamp["east"])
+            f = _set_col(f, H + L, clamp["east"], "east")
     if not cfg.ns_periodic:
         if lbc.south in (BC_CLOSED, BC_GRADIENT):
-            f = _set_row(f, H - 1, f[..., H, :])
+            f = _set_row(f, H - 1, f[..., H, :], "south")
         elif lbc.south == BC_CLAMPED and clamp is not None:
-            f = _set_row(f, H - 1, clamp["south"])
+            f = _set_row(f, H - 1, clamp["south"], "south")
         if lbc.north in (BC_CLOSED, BC_GRADIENT):
-            f = _set_row(f, H + M, f[..., H + M - 1, :])
+            f = _set_row(f, H + M, f[..., H + M - 1, :], "north")
         elif lbc.north == BC_CLAMPED and clamp is not None:
-            f = _set_row(f, H + M, clamp["north"])
+            f = _set_row(f, H + M, clamp["north"], "north")
     if mask is not None:
         f = f * mask
     return fill_halo(cfg, f)
@@ -115,27 +253,27 @@ def apply_bc_u(cfg: Config, lbc: LBC, f, gamma2: float = 1.0, mask=None):
     L, M = cfg.Lm, cfg.Mm
     if not cfg.ew_periodic:
         if lbc.west == BC_CLOSED:
-            f = _set_col(f, H, jnp.zeros_like(f[..., :, H]))
+            f = _set_col(f, H, jnp.zeros_like(f[..., :, H]), "west")
         elif lbc.west == BC_GRADIENT:
-            f = _set_col(f, H, f[..., :, H + 1])
+            f = _set_col(f, H, f[..., :, H + 1], "west")
         # pin the u ghost column west of the boundary face: it has no
         # reference counterpart (u starts at i=1) and is the source
         # column for the halo fill - left untouched it integrates
         # garbage through the kernels and eventually overflows
-        f = _set_col(f, H - 1, f[..., :, H])
+        f = _set_col(f, H - 1, f[..., :, H], "west")
         if lbc.east == BC_CLOSED:
-            f = _set_col(f, H + L, jnp.zeros_like(f[..., :, H + L]))
+            f = _set_col(f, H + L, jnp.zeros_like(f[..., :, H + L]), "east")
         elif lbc.east == BC_GRADIENT:
-            f = _set_col(f, H + L, f[..., :, H + L - 1])
+            f = _set_col(f, H + L, f[..., :, H + L - 1], "east")
     if not cfg.ns_periodic:
         if lbc.south == BC_CLOSED:
-            f = _set_row(f, H - 1, gamma2 * f[..., H, :])
+            f = _set_row(f, H - 1, gamma2 * f[..., H, :], "south")
         elif lbc.south == BC_GRADIENT:
-            f = _set_row(f, H - 1, f[..., H, :])
+            f = _set_row(f, H - 1, f[..., H, :], "south")
         if lbc.north == BC_CLOSED:
-            f = _set_row(f, H + M, gamma2 * f[..., H + M - 1, :])
+            f = _set_row(f, H + M, gamma2 * f[..., H + M - 1, :], "north")
         elif lbc.north == BC_GRADIENT:
-            f = _set_row(f, H + M, f[..., H + M - 1, :])
+            f = _set_row(f, H + M, f[..., H + M - 1, :], "north")
     if mask is not None:
         f = f * mask
     return fill_halo(cfg, f)
@@ -151,24 +289,24 @@ def apply_bc_v(cfg: Config, lbc: LBC, f, gamma2: float = 1.0, mask=None):
     L, M = cfg.Lm, cfg.Mm
     if not cfg.ns_periodic:
         if lbc.south == BC_CLOSED:
-            f = _set_row(f, H, jnp.zeros_like(f[..., H, :]))
+            f = _set_row(f, H, jnp.zeros_like(f[..., H, :]), "south")
         elif lbc.south == BC_GRADIENT:
-            f = _set_row(f, H, f[..., H + 1, :])
+            f = _set_row(f, H, f[..., H + 1, :], "south")
         # pin the v ghost row south of the boundary face (see apply_bc_u)
-        f = _set_row(f, H - 1, f[..., H, :])
+        f = _set_row(f, H - 1, f[..., H, :], "south")
         if lbc.north == BC_CLOSED:
-            f = _set_row(f, H + M, jnp.zeros_like(f[..., H + M, :]))
+            f = _set_row(f, H + M, jnp.zeros_like(f[..., H + M, :]), "north")
         elif lbc.north == BC_GRADIENT:
-            f = _set_row(f, H + M, f[..., H + M - 1, :])
+            f = _set_row(f, H + M, f[..., H + M - 1, :], "north")
     if not cfg.ew_periodic:
         if lbc.west == BC_CLOSED:
-            f = _set_col(f, H - 1, gamma2 * f[..., :, H])
+            f = _set_col(f, H - 1, gamma2 * f[..., :, H], "west")
         elif lbc.west == BC_GRADIENT:
-            f = _set_col(f, H - 1, f[..., :, H])
+            f = _set_col(f, H - 1, f[..., :, H], "west")
         if lbc.east == BC_CLOSED:
-            f = _set_col(f, H + L, gamma2 * f[..., :, H + L - 1])
+            f = _set_col(f, H + L, gamma2 * f[..., :, H + L - 1], "east")
         elif lbc.east == BC_GRADIENT:
-            f = _set_col(f, H + L, f[..., :, H + L - 1])
+            f = _set_col(f, H + L, f[..., :, H + L - 1], "east")
     if mask is not None:
         f = f * mask
     return fill_halo(cfg, f)
@@ -183,22 +321,22 @@ def extrap_west(cfg: Config, g, a: int):
     """g[:, a] = g[:, a+1] at a non-periodic western edge."""
     if cfg.ew_periodic:
         return g
-    return g.at[..., :, a].set(g[..., :, a + 1])
+    return _set_col(g, a, g[..., :, a + 1], "west")
 
 
 def extrap_east(cfg: Config, g, a: int):
     if cfg.ew_periodic:
         return g
-    return g.at[..., :, a].set(g[..., :, a - 1])
+    return _set_col(g, a, g[..., :, a - 1], "east")
 
 
 def extrap_south(cfg: Config, g, a: int):
     if cfg.ns_periodic:
         return g
-    return g.at[..., a, :].set(g[..., a + 1, :])
+    return _set_row(g, a, g[..., a + 1, :], "south")
 
 
 def extrap_north(cfg: Config, g, a: int):
     if cfg.ns_periodic:
         return g
-    return g.at[..., a, :].set(g[..., a - 1, :])
+    return _set_row(g, a, g[..., a - 1, :], "north")

@@ -159,11 +159,11 @@ def _smooth_w(cfg, q):
     H = cfg.halo
     # edge replication in non-periodic dirs before smoothing
     if not cfg.ew_periodic:
-        q = q.at[..., :, H - 1].set(q[..., :, H])
-        q = q.at[..., :, H + cfg.Lm].set(q[..., :, H + cfg.Lm - 1])
+        q = bc.set_col(q, H - 1, q[..., :, H], "west")
+        q = bc.set_col(q, H + cfg.Lm, q[..., :, H + cfg.Lm - 1], "east")
     if not cfg.ns_periodic:
-        q = q.at[..., H - 1, :].set(q[..., H, :])
-        q = q.at[..., H + cfg.Mm, :].set(q[..., H + cfg.Mm - 1, :])
+        q = bc.set_row(q, H - 1, q[..., H, :], "south")
+        q = bc.set_row(q, H + cfg.Mm, q[..., H + cfg.Mm - 1, :], "north")
     q = bc.fill_halo(cfg, q)
     qp = 0.25 * (q + ip1(q) + jp1(q) + ip1(jp1(q)))   # at psi+1/2 offset
     qs = 0.25 * (qp + im1(qp) + jm1(qp) + im1(jm1(qp)))

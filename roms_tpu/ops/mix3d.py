@@ -167,33 +167,37 @@ def _lapuv_bc(cfg: Config, LapU, LapV):
     H = cfg.halo
     L, M = cfg.Lm, cfg.Mm
     from ..config import BC_CLOSED
+    from . import bc as _bc
     if not cfg.ew_periodic:
         if cfg.lbc_u.west == BC_CLOSED:
-            LapU = LapU.at[:, :, H].set(0.0)
-            LapV = LapV.at[:, :, H - 1].set(cfg.gamma2 * LapV[:, :, H])
+            LapU = _bc.set_col(LapU, H, 0.0, "west")
+            LapV = _bc.set_col(LapV, H - 1,
+                               cfg.gamma2 * LapV[:, :, H], "west")
         else:
-            LapU = LapU.at[:, :, H].set(LapU[:, :, H + 1])
-            LapV = LapV.at[:, :, H - 1].set(0.0)
+            LapU = _bc.set_col(LapU, H, LapU[:, :, H + 1], "west")
+            LapV = _bc.set_col(LapV, H - 1, 0.0, "west")
         if cfg.lbc_u.east == BC_CLOSED:
-            LapU = LapU.at[:, :, H + L].set(0.0)
-            LapV = LapV.at[:, :, H + L].set(cfg.gamma2 * LapV[:, :, H + L - 1])
+            LapU = _bc.set_col(LapU, H + L, 0.0, "east")
+            LapV = _bc.set_col(LapV, H + L,
+                               cfg.gamma2 * LapV[:, :, H + L - 1], "east")
         else:
-            LapU = LapU.at[:, :, H + L].set(LapU[:, :, H + L - 1])
-            LapV = LapV.at[:, :, H + L].set(0.0)
+            LapU = _bc.set_col(LapU, H + L, LapU[:, :, H + L - 1], "east")
+            LapV = _bc.set_col(LapV, H + L, 0.0, "east")
     if not cfg.ns_periodic:
         if cfg.lbc_v.south == BC_CLOSED:
-            LapV = LapV.at[:, H, :].set(0.0)
-            LapU = LapU.at[:, H - 1, :].set(cfg.gamma2 * LapU[:, H, :])
+            LapV = _bc.set_row(LapV, H, 0.0, "south")
+            LapU = _bc.set_row(LapU, H - 1,
+                               cfg.gamma2 * LapU[:, H, :], "south")
         else:
-            LapV = LapV.at[:, H, :].set(LapV[:, H + 1, :])
-            LapU = LapU.at[:, H - 1, :].set(0.0)
+            LapV = _bc.set_row(LapV, H, LapV[:, H + 1, :], "south")
+            LapU = _bc.set_row(LapU, H - 1, 0.0, "south")
         if cfg.lbc_v.north == BC_CLOSED:
-            LapV = LapV.at[:, H + M, :].set(0.0)
-            LapU = LapU.at[:, H + M, :].set(cfg.gamma2 * LapU[:, H + M - 1, :])
+            LapV = _bc.set_row(LapV, H + M, 0.0, "north")
+            LapU = _bc.set_row(LapU, H + M,
+                               cfg.gamma2 * LapU[:, H + M - 1, :], "north")
         else:
-            LapV = LapV.at[:, H + M, :].set(LapV[:, H + M - 1, :])
-            LapU = LapU.at[:, H + M, :].set(0.0)
-    from . import bc as _bc
+            LapV = _bc.set_row(LapV, H + M, LapV[:, H + M - 1, :], "north")
+            LapU = _bc.set_row(LapU, H + M, 0.0, "north")
     return _bc.fill_halo(cfg, LapU), _bc.fill_halo(cfg, LapV)
 
 
@@ -219,11 +223,11 @@ def t3dmix4(cfg: Config, grid: Grid, t, Hz, t_nnew, dt: float):
         LapT = pmn * ((ip1(FX) - FX) + (jp1(FE) - FE)) / Hz
         # boundary: zero Laplacian at closed edges, replicate at open
         if not cfg.ew_periodic:
-            LapT = LapT.at[:, :, H - 1].set(0.0)
-            LapT = LapT.at[:, :, H + L].set(0.0)
+            LapT = _bc.set_col(LapT, H - 1, 0.0, "west")
+            LapT = _bc.set_col(LapT, H + L, 0.0, "east")
         if not cfg.ns_periodic:
-            LapT = LapT.at[:, H - 1, :].set(0.0)
-            LapT = LapT.at[:, H + M, :].set(0.0)
+            LapT = _bc.set_row(LapT, H - 1, 0.0, "south")
+            LapT = _bc.set_row(LapT, H + M, 0.0, "north")
         LapT = _bc.fill_halo(cfg, LapT)
         FX2 = 0.25 * (2.0 * diff4) * pmon_u * (Hz + im1(Hz)) * \
             (LapT - im1(LapT))
@@ -363,11 +367,11 @@ def _lap_bc(cfg: Config, LapT):
     H = cfg.halo
     L, M = cfg.Lm, cfg.Mm
     if not cfg.ew_periodic:
-        LapT = LapT.at[:, :, H - 1].set(0.0)
-        LapT = LapT.at[:, :, H + L].set(0.0)
+        LapT = _bc.set_col(LapT, H - 1, 0.0, "west")
+        LapT = _bc.set_col(LapT, H + L, 0.0, "east")
     if not cfg.ns_periodic:
-        LapT = LapT.at[:, H - 1, :].set(0.0)
-        LapT = LapT.at[:, H + M, :].set(0.0)
+        LapT = _bc.set_row(LapT, H - 1, 0.0, "south")
+        LapT = _bc.set_row(LapT, H + M, 0.0, "north")
     return _bc.fill_halo(cfg, LapT)
 
 

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from .. import constants as C
 from ..config import Config
-from .bc import fill_halo
+from .bc import fill_halo, set_col, set_row
 from .biology import ppm_sink
 from .stencil import im1, ip1, jm1, jp1
 
@@ -85,11 +85,11 @@ def _sanitize_ring(cfg: Config, f):
     sediment on Istr:Iend,Jstr:Jend and exchanges afterwards)."""
     H = cfg.halo
     if not cfg.ns_periodic:
-        f = f.at[..., H - 1, :].set(f[..., H, :])
-        f = f.at[..., H + cfg.Mm, :].set(f[..., H + cfg.Mm - 1, :])
+        f = set_row(f, H - 1, f[..., H, :], "south")
+        f = set_row(f, H + cfg.Mm, f[..., H + cfg.Mm - 1, :], "north")
     if not cfg.ew_periodic:
-        f = f.at[..., :, H - 1].set(f[..., :, H])
-        f = f.at[..., :, H + cfg.Lm].set(f[..., :, H + cfg.Lm - 1])
+        f = set_col(f, H - 1, f[..., :, H], "west")
+        f = set_col(f, H + cfg.Lm, f[..., :, H + cfg.Lm - 1], "east")
     return fill_halo(cfg, f)
 
 
@@ -220,14 +220,14 @@ def _bedload_mpm(cfg: Config, grid, p: SedParams, bed_mass, tau_w,
         H = cfg.halo
         if not cfg.ew_periodic:
             if cfg.lbc_t.west == "Clo":
-                FX = FX.at[..., :, H].set(0.0)
+                FX = set_col(FX, H, 0.0, "west")
             if cfg.lbc_t.east == "Clo":
-                FX = FX.at[..., :, H + cfg.Lm].set(0.0)
+                FX = set_col(FX, H + cfg.Lm, 0.0, "east")
         if not cfg.ns_periodic:
             if cfg.lbc_t.south == "Clo":
-                FE = FE.at[..., H, :].set(0.0)
+                FE = set_row(FE, H, 0.0, "south")
             if cfg.lbc_t.north == "Clo":
-                FE = FE.at[..., H + cfg.Mm, :].set(0.0)
+                FE = set_row(FE, H + cfg.Mm, 0.0, "north")
 
         div = (ip1(FX) - FX + jp1(FE) - FE) * grid.pm * grid.pn
         top_new = top_new.at[c].set(

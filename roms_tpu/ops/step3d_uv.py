@@ -92,11 +92,11 @@ def step3d_uv(cfg: Config, grid: Grid, iic, u_nnew, v_nnew, ru, rv,
 
     # boundary-ring-only replacement at non-periodic edges
     if not cfg.ew_periodic:
-        u = u.at[:, :, H].add(-CFb_u[:, H])            # western wall face
-        u = u.at[:, :, H + L].add(-CFb_u[:, H + L])    # eastern wall face
+        u = bc.add_col(u, H, -CFb_u[:, H], "west")       # western wall face
+        u = bc.add_col(u, H + L, -CFb_u[:, H + L], "east")
     if not cfg.ns_periodic:
-        u = u.at[:, H - 1, :].add(-CFb_u[H - 1, :])    # southern boundary row
-        u = u.at[:, H + M, :].add(-CFb_u[H + M, :])    # northern boundary row
+        u = bc.add_row(u, H - 1, -CFb_u[H - 1, :], "south")
+        u = bc.add_row(u, H + M, -CFb_u[H + M, :], "north")
 
     # time-centered mass flux corrected to integrate to DU_avg2
     Huon = 0.5 * (Huon_old + u * DCk_u)
@@ -110,11 +110,11 @@ def step3d_uv(cfg: Config, grid: Grid, iic, u_nnew, v_nnew, ru, rv,
     vbar = oD_v * DV_avg1
 
     if not cfg.ew_periodic:
-        v = v.at[:, :, H - 1].add(-CFb_v[:, H - 1])
-        v = v.at[:, :, H + L].add(-CFb_v[:, H + L])
+        v = bc.add_col(v, H - 1, -CFb_v[:, H - 1], "west")
+        v = bc.add_col(v, H + L, -CFb_v[:, H + L], "east")
     if not cfg.ns_periodic:
-        v = v.at[:, H, :].add(-CFb_v[H, :])
-        v = v.at[:, H + M, :].add(-CFb_v[H + M, :])
+        v = bc.add_row(v, H, -CFb_v[H, :], "south")
+        v = bc.add_row(v, H + M, -CFb_v[H + M, :], "north")
 
     Hvom = 0.5 * (Hvom_old + v * DCk_v)
     FCcv = oD_v * (jnp.sum(Hvom, axis=0) - DV_avg2)

@@ -24,7 +24,7 @@ def main():
     cfg = benchmark.make_config(Lm=512, Mm=64, N=30, dt=150.0, ndtfast=20,
                                 dtype="float32")
     cfg, grid, state, ffn = benchmark.build(cfg)
-    print("backend:", jax.default_backend(), "nfast:", cfg.nfast)
+    print("backend:", jax.default_backend(), "nfast:", cfg.nfast, flush=True)
     assert step2d_pallas.supported(cfg), "config not supported by kernel"
 
     zero = jnp.zeros_like(state.zeta)
@@ -50,8 +50,13 @@ def main():
                                 ru0_nm1=a, ru0_nm2=b, rv0_nm1=c, rv0_nm2=d,
                                 iic=iic)
 
-    for name, fn in [("pallas", step2d_pallas.fast_loop_fused),
-                     ("jnp", jnp_fl)]:
+    import os
+    pairs = [("pallas", step2d_pallas.fast_loop_fused), ("jnp", jnp_fl)]
+    if os.environ.get("SMOKE_ONLY") == "pallas":
+        pairs = pairs[:1]
+    elif os.environ.get("SMOKE_ONLY") == "jnp":
+        pairs = pairs[1:]
+    for name, fn in pairs:
         f = scan_of(fn)
         t0 = time.perf_counter()
         out, _ = f(fs)
