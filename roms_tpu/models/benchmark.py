@@ -76,17 +76,18 @@ def build(cfg: Config | None = None):
     t0 = jnp.stack([bc.fill_halo(cfg, temp), bc.fill_halo(cfg, salt)])
     state0 = initial_state(cfg, t=t0)
 
-    lonr, latr = grid.xr, grid.yr
-    # analytic atmosphere (ana_winds/tair/pair/humid/cloud BENCHMARK)
-    Uwind = 15.0 * jnp.exp(-(0.2 * (60.0 + latr)) ** 2)
-    Vwind = jnp.zeros_like(Uwind)
-    Tair = jnp.full_like(Uwind, 4.0)
-    Pair = jnp.full_like(Uwind, 1025.0)
-    Hair = jnp.full_like(Uwind, 0.8)
-    cloud = jnp.full_like(Uwind, 0.6)
-    rain = jnp.zeros_like(Uwind)
-
     def forcing_fn(cfg, grid, time):
+        # analytic atmosphere (ana_winds/tair/pair/humid/cloud BENCHMARK)
+        # computed from the grid ARGUMENT (not closure) so the same fn
+        # works on local shard blocks under parallel/smap
+        lonr, latr = grid.xr, grid.yr
+        Uwind = 15.0 * jnp.exp(-(0.2 * (60.0 + latr)) ** 2)
+        Vwind = jnp.zeros_like(Uwind)
+        Tair = jnp.full_like(Uwind, 4.0)
+        Pair = jnp.full_like(Uwind, 1025.0)
+        Hair = jnp.full_like(Uwind, 0.8)
+        cloud = jnp.full_like(Uwind, 0.6)
+        rain = jnp.zeros_like(Uwind)
         tdays = time / C.day2sec
         srflx = ana_srflux_albedo(cfg, lonr, latr, Tair, Hair, cloud,
                                   tdays)

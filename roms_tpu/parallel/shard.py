@@ -57,16 +57,23 @@ def shard_state(mesh: Mesh, tree):
 
 
 def make_sharded_stepper(cfg, grid, mesh: Mesh, forcing_fn=None,
-                         donate: bool = True):
-    """jit-compiled step with mesh-sharded state (GSPMD partitioning)."""
+                         donate: bool = True, template=None):
+    """jit-compiled step with mesh-sharded state (GSPMD partitioning).
+
+    in_shardings/out_shardings pin every State leaf to the (eta, xi)
+    domain decomposition so XLA cannot silently replicate or reshard
+    outputs between steps; `template` (any State) supplies the pytree
+    structure (defaults to a cold-start state of cfg)."""
     from .. import stepping
+    from ..state import initial_state
 
     def f(state):
         return stepping.step(cfg, grid, state, forcing_fn)
 
-    def spec_of(x):
-        if x.ndim < 2:
-            return NamedSharding(mesh, P())
-        return NamedSharding(mesh, field_spec(x.ndim))
-
-    return jax.jit(f, donate_argnums=(0,) if donate else ())
+    if template is None:
+        template = jax.eval_shape(lambda: initial_state(cfg))
+    shardings = jax.tree_util.tree_map(
+        lambda x: NamedSharding(
+            mesh, field_spec(x.ndim) if x.ndim >= 2 else P()), template)
+    return jax.jit(f, in_shardings=(shardings,), out_shardings=shardings,
+                   donate_argnums=(0,) if donate else ())
