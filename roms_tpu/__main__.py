@@ -64,6 +64,13 @@ def main(argv=None):
                      nhis=int(opts.get("nhis", 0) or 0),
                      rst_file=opts.get("rst_file"),
                      nrst=int(opts.get("nrst", 0) or 0),
+                     avg_file=opts.get("avg_file"),
+                     navg=int(opts.get("navg", 0) or 0),
+                     dia_file=opts.get("dia_file"),
+                     ndia=int(opts.get("ndia", 0) or 0),
+                     qck_file=opts.get("qck_file"),
+                     nqck=int(opts.get("nqck", 0) or 0),
+                     ndef_his=int(opts.get("ndef_his", 0) or 0),
                      ninfo=int(opts.get("ninfo", 10) or 0))
     sim.run(int(opts["nsteps"]))
     sim.finalize()

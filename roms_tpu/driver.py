@@ -28,13 +28,24 @@ class BlowupError(RuntimeError):
 
 
 class Simulation:
-    AVG_FIELDS = ("zeta", "ubar", "vbar", "u", "v", "t")
+    # mod_average.F accumulator set: prognostic fields + mixing
+    # coefficients + boundary-layer depths + fast-time-averaged
+    # transports (set_avg.F field list)
+    AVG_FIELDS = ("zeta", "ubar", "vbar", "u", "v", "t", "Akv", "Akt",
+                  "hsbl", "hbbl", "tke", "DU_avg1", "DV_avg1")
+    AVG_OUT = ("zeta", "ubar", "vbar", "u", "v", "temp", "salt", "AKv",
+               "AKt", "hsbl", "hbbl", "tke", "DU_avg1", "DV_avg1")
+    QCK_FIELDS = ("zeta", "ubar", "vbar", "temp_sur", "salt_sur",
+                  "u_sur", "v_sur")
 
     def __init__(self, cfg: Config, grid: Grid, state: State,
                  forcing_fn: Optional[Callable] = None,
                  his_file: Optional[str] = None, nhis: int = 0,
                  rst_file: Optional[str] = None, nrst: int = 0,
                  avg_file: Optional[str] = None, navg: int = 0,
+                 dia_file: Optional[str] = None, ndia: int = 0,
+                 qck_file: Optional[str] = None, nqck: int = 0,
+                 ndef_his: int = 0,
                  ninfo: int = 10, log: Callable = print,
                  steps_per_call: int = 1):
         self.cfg = cfg
@@ -51,33 +62,62 @@ class Simulation:
         self.log = log
         self.profiler = Profiler()
         self.steps_per_call = max(1, steps_per_call)
-        if self.steps_per_call == 1:
+        self.navg = navg
+        self.ndia = ndia
+        self.avg_writer = None
+        self.dia_writer = None
+        self._avg_acc = None
+        self._dia_acc = None
+        avg_on = bool(avg_file and navg > 0)
+        dia_on = bool(dia_file and ndia > 0)
+        if avg_on and navg % self.steps_per_call:
+            raise ValueError(
+                f"navg={navg} must be a multiple of "
+                f"steps_per_call={self.steps_per_call}")
+        if dia_on and self.steps_per_call != 1:
+            raise ValueError("diagnostics stream requires "
+                             "steps_per_call == 1")
+
+        n = self.steps_per_call
+        if dia_on:
+            # per-step budget increments (DIAGNOSTICS_TS/UV)
+            self._step = jax.jit(lambda s: stepping.step(
+                cfg, grid, s, forcing_fn, collect_diags=True))
+        elif avg_on:
+            # averaging accumulates ON DEVICE every step so batched
+            # dispatch (steps_per_call > 1) still samples each state
+            self._step = jax.jit(
+                lambda s: stepping.run_accum(cfg, grid, s, n, forcing_fn,
+                                             fields=self.AVG_FIELDS),
+                donate_argnums=(0,))
+        elif n == 1:
             self._step = stepping.make_stepper(cfg, grid, forcing_fn,
                                                donate=True)
         else:
-            n = self.steps_per_call
             self._step = jax.jit(
                 lambda s: stepping.run(cfg, grid, s, n, forcing_fn),
                 donate_argnums=(0,))
+        self._mode = ("dia" if dia_on else
+                      "avg" if avg_on else "plain")
+
+        from .io.netcdf import HistoryWriter, DiagWriter, FileRing
         self.writer = None
         if his_file and nhis > 0:
-            from .io.netcdf import HistoryWriter
-            self.writer = HistoryWriter(his_file, cfg, grid)
-        # time-averaged output (mod_average.F accumulators, set_avg.F)
-        self.navg = navg
-        self.avg_writer = None
-        self._avg_acc = None
-        if avg_file and navg > 0:
-            from .io.netcdf import HistoryWriter
-            self.avg_writer = HistoryWriter(avg_file, cfg, grid)
-            import jax.numpy as jnp
-            self._avg_add = jax.jit(
-                lambda acc, s: {k: acc[k] + getattr(s, k)
-                                for k in self.AVG_FIELDS})
-            self._avg_zero = {
-                k: jax.numpy.zeros_like(getattr(state, k))
-                for k in self.AVG_FIELDS}
-            self._avg_acc = dict(self._avg_zero)
+            if ndef_his > 0:
+                self.writer = FileRing(HistoryWriter, his_file,
+                                       ndef_his, cfg, grid)
+            else:
+                self.writer = HistoryWriter(his_file, cfg, grid)
+        self.qck_writer = None
+        self.nqck = nqck
+        if qck_file and nqck > 0:
+            self.qck_writer = HistoryWriter(qck_file, cfg, grid,
+                                            fields=self.QCK_FIELDS)
+        if avg_on:
+            self.avg_writer = HistoryWriter(avg_file, cfg, grid,
+                                            fields=self.AVG_OUT)
+        if dia_on:
+            self.dia_writer = DiagWriter(dia_file, cfg)
 
     # -- ROMS_run ------------------------------------------------------
     def run(self, nsteps: int):
@@ -85,7 +125,22 @@ class Simulation:
         done = 0
         while done < nsteps:
             with self.profiler.region("3d time stepping"):
-                self.state = self._step(self.state)
+                if self._mode == "avg":
+                    self.state, sums = self._step(self.state)
+                    if self._avg_acc is None:
+                        self._avg_acc = sums
+                    else:
+                        self._avg_acc = jax.tree_util.tree_map(
+                            jax.numpy.add, self._avg_acc, sums)
+                elif self._mode == "dia":
+                    self.state, dia = self._step(self.state)
+                    if self._dia_acc is None:
+                        self._dia_acc = dia
+                    else:
+                        self._dia_acc = jax.tree_util.tree_map(
+                            jax.numpy.add, self._dia_acc, dia)
+                else:
+                    self.state = self._step(self.state)
             done += self.steps_per_call
             iic = int(self.state.iic)
             if self.ninfo and iic % self.ninfo == 0:
@@ -107,19 +162,29 @@ class Simulation:
             if self.writer and iic % self.nhis == 0:
                 with self.profiler.region("output: history"):
                     self.writer.write(jax.device_get(self.state))
-            if self.avg_writer:
+            if self.qck_writer and iic % self.nqck == 0:
+                with self.profiler.region("output: quick"):
+                    self.qck_writer.write(jax.device_get(self.state))
+            if self.avg_writer and iic % self.navg == 0 and \
+                    self._avg_acc is not None:
                 with self.profiler.region("output: averages"):
-                    self._avg_acc = self._avg_add(self._avg_acc,
-                                                  self.state)
-                    if iic % self.navg == 0:
-                        mean = jax.device_get(jax.tree_util.tree_map(
-                            lambda a: a / self.navg, self._avg_acc))
-                        rec = self.state.replace(**mean)
-                        self.avg_writer.write(
-                            jax.device_get(rec),
-                            time=float(self.state.time) -
-                            0.5 * self.navg * self.cfg.dt)
-                        self._avg_acc = dict(self._avg_zero)
+                    mean = jax.device_get(jax.tree_util.tree_map(
+                        lambda a: a / self.navg, self._avg_acc))
+                    rec = self.state.replace(**mean)
+                    self.avg_writer.write(
+                        jax.device_get(rec),
+                        time=float(self.state.time) -
+                        0.5 * self.navg * self.cfg.dt)
+                    self._avg_acc = None
+            if self.dia_writer and iic % self.ndia == 0 and \
+                    self._dia_acc is not None:
+                with self.profiler.region("output: diagnostics"):
+                    self.dia_writer.write(
+                        jax.device_get(self._dia_acc),
+                        time=float(self.state.time) -
+                        0.5 * self.ndia * self.cfg.dt,
+                        scale=1.0 / self.ndia)
+                    self._dia_acc = None
             if self.rst_file and self.nrst and iic % self.nrst == 0:
                 with self.profiler.region("output: restart"):
                     self._write_rst()
@@ -131,10 +196,10 @@ class Simulation:
 
     # -- ROMS_finalize -------------------------------------------------
     def finalize(self):
-        if self.writer:
-            self.writer.close()
-        if self.avg_writer:
-            self.avg_writer.close()
+        for w in (self.writer, self.avg_writer, self.qck_writer,
+                  self.dia_writer):
+            if w:
+                w.close()
         self.log(self.profiler.report())
 
 

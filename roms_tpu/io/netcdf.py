@@ -100,6 +100,28 @@ class HistoryWriter:
             self._vars[name] = v
         self._f = f
 
+    # output name -> State attribute when they differ
+    ATTR_OF = {"AKv": "Akv", "AKt": "Akt"}
+    # quick-save surface slices (wrt_quick.F): name -> (attr, tracer idx)
+    SURFACE = {"temp_sur": ("t", 0), "salt_sur": ("t", 1),
+               "u_sur": ("u", None), "v_sur": ("v", None)}
+
+    def extract(self, state, name: str) -> np.ndarray:
+        """Resolve an output field name against a State."""
+        if name in self._tracer_idx:
+            return np.asarray(state.t[self._tracer_idx[name]])
+        if name in self.SURFACE:
+            attr, tidx = self.SURFACE[name]
+            a = getattr(state, attr)
+            if tidx is not None:
+                a = a[tidx]
+            return np.asarray(a[-1])
+        attr = self.ATTR_OF.get(name, name)
+        a = np.asarray(getattr(state, attr))
+        if name == "AKt":
+            a = a[0]
+        return a
+
     def write(self, state, time: Optional[float] = None):
         """Append one record from a State (or dict of arrays)."""
         n = self._nrec
@@ -107,13 +129,7 @@ class HistoryWriter:
         self._tvar[n] = t
         rec_sums: Dict[str, int] = {}
         for name in self.fields:
-            if name in self._tracer_idx:
-                a = np.asarray(state.t[self._tracer_idx[name]])
-            elif name == "AKv":
-                a = np.asarray(state.Akv)
-            else:
-                a = np.asarray(getattr(state, name))
-            a = _interior(self.cfg, a)
+            a = _interior(self.cfg, self.extract(state, name))
             self._vars[name][n] = a
             rec_sums[name] = adler32(a)
         self.checksums.append(rec_sums)
@@ -122,6 +138,145 @@ class HistoryWriter:
     def close(self):
         self._f.flush()
         self._f.close()
+
+
+class DiagWriter:
+    """NetCDF writer for the per-term budget diagnostics stream (the
+    reference's DIA file: ROMS/Utility/wrt_diags.F:1-866 writing the
+    mod_diags.F accumulators).
+
+    Accepts the dict produced by stepping.step(collect_diags=True):
+    tracer terms shaped (NT, N, Ny, Nx) are split into per-tracer
+    variables (<tracer>_<term>), momentum terms (N, Ny, Nx) become
+    u_<term>/v_<term>."""
+
+    def __init__(self, path: str, cfg: Config):
+        self.path = path
+        self.cfg = cfg
+        self._nrec = 0
+        f = netcdf_file(path, "w")
+        f.createDimension("ocean_time", None)
+        f.createDimension("xi_rho", cfg.Lm)
+        f.createDimension("eta_rho", cfg.Mm)
+        f.createDimension("s_rho", cfg.N)
+        f.type = b"ROMS-compatible diagnostics file (roms_tpu)"
+        tvar = f.createVariable("ocean_time", "d", ("ocean_time",))
+        tvar.units = b"seconds since initialization"
+        self._tvar = tvar
+        self._f = f
+        self._vars: Dict[str, object] = {}
+        from .varinfo import tracer_names
+        self._tnames = tracer_names(cfg)
+
+    def _var(self, name: str, term: str):
+        if name not in self._vars:
+            from .varinfo import DIA_TERMS
+            v = self._f.createVariable(
+                name, "d", ("ocean_time", "s_rho", "eta_rho", "xi_rho"))
+            v.long_name = (name.split("_")[0] + " " +
+                           DIA_TERMS.get(term, term)).encode()
+            self._vars[name] = v
+        return self._vars[name]
+
+    def write(self, dia: Dict[str, np.ndarray],
+              time: float, scale: float = 1.0):
+        """Append one record of (possibly accumulated) diagnostics;
+        scale divides (e.g. 1/navg for time means)."""
+        n = self._nrec
+        self._tvar[n] = time
+        for key, val in sorted(dia.items()):
+            a = np.asarray(val) * scale
+            if a.ndim == 4:          # (NT,N,Ny,Nx) tracer term
+                for ti in range(a.shape[0]):
+                    nm = f"{self._tnames.get(ti, f'tracer{ti}')}_{key}"
+                    self._var(nm, key)[n] = _interior(self.cfg, a[ti])
+            elif a.ndim == 3:        # (N,Ny,Nx) momentum term (u_/v_...)
+                term = key.split("_", 1)[-1]
+                self._var(key, term)[n] = _interior(self.cfg, a)
+        self._nrec += 1
+
+    def close(self):
+        self._f.flush()
+        self._f.close()
+
+
+class FloatsWriter:
+    """Trajectory NetCDF for Lagrangian floats (wrt_floats.F layout:
+    one record per sample, per-drifter coordinates)."""
+
+    def __init__(self, path: str, cfg: Config, nfloats: int):
+        self.path = path
+        self.cfg = cfg
+        self._nrec = 0
+        f = netcdf_file(path, "w")
+        f.createDimension("ocean_time", None)
+        f.createDimension("drifter", nfloats)
+        f.type = b"ROMS-compatible floats file (roms_tpu)"
+        tvar = f.createVariable("ocean_time", "d", ("ocean_time",))
+        tvar.units = b"seconds since initialization"
+        self._tvar = tvar
+        self._vars = {}
+        for name, units in (("Xgrid", "nondimensional"),
+                            ("Ygrid", "nondimensional"),
+                            ("Zgrid", "nondimensional")):
+            v = f.createVariable(name, "d", ("ocean_time", "drifter"))
+            v.units = units.encode()
+            self._vars[name] = v
+        self._f = f
+
+    def write(self, fl, time: float):
+        """Append one record from a floats.FloatsState (slot 3 of the
+        Milne/Hamming history is the newest position)."""
+        n = self._nrec
+        self._tvar[n] = time
+        self._vars["Xgrid"][n] = np.asarray(fl.xg[3])
+        self._vars["Ygrid"][n] = np.asarray(fl.yg[3])
+        self._vars["Zgrid"][n] = np.asarray(fl.zg[3])
+        self._nrec += 1
+
+    def close(self):
+        self._f.flush()
+        self._f.close()
+
+
+class FileRing:
+    """Multi-file output ring (mod_iounits.F NDEFHIS semantics /
+    output.F:172-586): a new file is created every `ndef` records,
+    named <base>_NNNN.nc.  Wraps any writer class with the
+    (path, *args, **kwargs) constructor convention."""
+
+    def __init__(self, writer_cls, base: str, ndef: int, *args, **kw):
+        self._cls = writer_cls
+        self._base = base.rsplit(".nc", 1)[0]
+        self._ndef = max(1, ndef)
+        self._args = args
+        self._kw = kw
+        self._count = 0
+        self._findex = 0
+        self._w = None
+        self.paths = []
+        self._roll()
+
+    def _roll(self):
+        if self._w is not None:
+            self._w.close()
+        self._findex += 1
+        path = f"{self._base}_{self._findex:04d}.nc"
+        self.paths.append(path)
+        self._w = self._cls(path, *self._args, **self._kw)
+        self._count = 0
+
+    def write(self, *args, **kw):
+        if self._count >= self._ndef:
+            self._roll()
+        self._w.write(*args, **kw)
+        self._count += 1
+
+    def __getattr__(self, name):
+        return getattr(self._w, name)
+
+    def close(self):
+        self._w.close()
 
 
 def read_history(path: str):

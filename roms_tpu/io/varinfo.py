@@ -99,6 +99,38 @@ REGISTRY = {
                         "r2", time=False),
     "rheight": VarInfo("rheight", "bed ripple height", "meter", "r2"),
     "rlength": VarInfo("rlength", "bed ripple length", "meter", "r2"),
+    # fast-time-averaged 2-D fields (mod_coupling.F; averaged output
+    # parity with set_avg.F idU2av/idV2av entries)
+    "DU_avg1": VarInfo("DU_avg1", "time-averaged u-transport",
+                       "meter3 second-1", "u2"),
+    "DV_avg1": VarInfo("DV_avg1", "time-averaged v-transport",
+                       "meter3 second-1", "v2"),
+    # surface quick-save fields (wrt_quick.F idSur* entries)
+    "temp_sur": VarInfo("temp_sur", "surface potential temperature",
+                        "Celsius", "r2"),
+    "salt_sur": VarInfo("salt_sur", "surface salinity",
+                        "nondimensional", "r2"),
+    "u_sur": VarInfo("u_sur", "surface u-momentum component",
+                     "meter second-1", "u2"),
+    "v_sur": VarInfo("v_sur", "surface v-momentum component",
+                     "meter second-1", "v2"),
+}
+
+# diagnostics-stream metadata (wrt_diags.F / mod_diags.F budget terms);
+# key suffix -> long-name fragment.  Tracer terms are written per tracer
+# as <tracer>_<term>, momentum terms as u_<term>/v_<term>.
+DIA_TERMS = {
+    "xadv": "horizontal XI-advection",
+    "yadv": "horizontal ETA-advection",
+    "vadv": "vertical advection",
+    "hdiff": "horizontal diffusion",
+    "vdiff": "vertical diffusion",
+    "rate": "time rate of change",
+    "prestep": "predictor-step contribution",
+    "prsgrd": "pressure gradient",
+    "cor": "Coriolis",
+    "hvisc": "horizontal viscosity",
+    "vvisc": "vertical viscosity + coupling remainder",
 }
 
 # per-model biology output names, in cfg.ibio order (the reference's

@@ -419,3 +419,22 @@ def run(cfg: Config, grid: Grid, state: State, nsteps: int,
 
     state, _ = jax.lax.scan(body, state, None, length=nsteps)
     return state
+
+
+def run_accum(cfg: Config, grid: Grid, state: State, nsteps: int,
+              forcing_fn: Optional[Callable] = None,
+              fields: tuple = ("zeta", "ubar", "vbar", "u", "v", "t")):
+    """Advance nsteps and accumulate per-step sums of the named State
+    fields ON DEVICE (the mod_average.F accumulators, sampled every step
+    as set_avg.F does - correct for any steps-per-dispatch batching).
+    Returns (state, sums dict)."""
+    def body(carry, _):
+        s, acc = carry
+        s = step(cfg, grid, s, forcing_fn)
+        acc = {k: acc[k] + getattr(s, k) for k in fields}
+        return (s, acc), None
+
+    acc0 = {k: jnp.zeros_like(getattr(state, k)) for k in fields}
+    (state, sums), _ = jax.lax.scan(body, (state, acc0), None,
+                                    length=nsteps)
+    return state, sums
