@@ -183,6 +183,10 @@ class Config:
     bbl: Optional[str] = None
     bbl_params: Optional[object] = None
 
+    # NEARSHORE_MELLOR05 radiation-stress forcing (ops/nearshore.py);
+    # wave fields from the forcing dict ("Hwave", "Dwave", "Lwave")
+    nearshore: Optional[str] = None
+
     bulk_fluxes: bool = False   # BULK_FLUXES: COARE air-sea fluxes
 
     # Bottom drag: one of "linear" (UV_LDRAG), "quadratic" (UV_QDRAG),

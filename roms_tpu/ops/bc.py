@@ -58,6 +58,22 @@ def current_ctx() -> Optional[ParCtx]:
     return getattr(_TLS, "ctx", None)
 
 
+def push_masked():
+    """Masked-writes mode: boundary writes become jnp.where with iota
+    masks instead of .at[].set (which lowers to an XLA scatter).  Used
+    inside Pallas kernels, where Mosaic has no scatter lowering;
+    numerically identical."""
+    _TLS.masked = True
+
+
+def pop_masked():
+    _TLS.masked = False
+
+
+def _masked_mode() -> bool:
+    return getattr(_TLS, "masked", False)
+
+
 def _owns(ctx: ParCtx, side: str):
     return getattr(ctx, side)
 
@@ -179,18 +195,22 @@ def _rowvals(values):
 
 def _set_col(f, a_dst, values, side=None):
     ctx = current_ctx()
-    if ctx is None or side is None:
-        return f.at[..., :, a_dst].set(values)
-    return jnp.where(_owns(ctx, side) & _col_mask(f, a_dst),
-                     _colvals(values), f)
+    if ctx is not None and side is not None:
+        return jnp.where(_owns(ctx, side) & _col_mask(f, a_dst),
+                         _colvals(values), f)
+    if _masked_mode():
+        return jnp.where(_col_mask(f, a_dst), _colvals(values), f)
+    return f.at[..., :, a_dst].set(values)
 
 
 def _set_row(f, a_dst, values, side=None):
     ctx = current_ctx()
-    if ctx is None or side is None:
-        return f.at[..., a_dst, :].set(values)
-    return jnp.where(_owns(ctx, side) & _row_mask(f, a_dst),
-                     _rowvals(values), f)
+    if ctx is not None and side is not None:
+        return jnp.where(_owns(ctx, side) & _row_mask(f, a_dst),
+                         _rowvals(values), f)
+    if _masked_mode():
+        return jnp.where(_row_mask(f, a_dst), _rowvals(values), f)
+    return f.at[..., a_dst, :].set(values)
 
 
 set_col = _set_col
@@ -200,18 +220,22 @@ set_row = _set_row
 def add_col(f, a_dst, delta, side=None):
     """f[..., :, a] += delta, edge-shard-gated under a ParCtx."""
     ctx = current_ctx()
-    if ctx is None or side is None:
-        return f.at[..., :, a_dst].add(delta)
-    return f + jnp.where(_owns(ctx, side) & _col_mask(f, a_dst),
-                         _colvals(delta), 0.0)
+    if ctx is not None and side is not None:
+        return f + jnp.where(_owns(ctx, side) & _col_mask(f, a_dst),
+                             _colvals(delta), 0.0)
+    if _masked_mode():
+        return f + jnp.where(_col_mask(f, a_dst), _colvals(delta), 0.0)
+    return f.at[..., :, a_dst].add(delta)
 
 
 def add_row(f, a_dst, delta, side=None):
     ctx = current_ctx()
-    if ctx is None or side is None:
-        return f.at[..., a_dst, :].add(delta)
-    return f + jnp.where(_owns(ctx, side) & _row_mask(f, a_dst),
-                         _rowvals(delta), 0.0)
+    if ctx is not None and side is not None:
+        return f + jnp.where(_owns(ctx, side) & _row_mask(f, a_dst),
+                             _rowvals(delta), 0.0)
+    if _masked_mode():
+        return f + jnp.where(_row_mask(f, a_dst), _rowvals(delta), 0.0)
+    return f.at[..., a_dst, :].add(delta)
 
 
 def apply_bc_rho(cfg: Config, lbc: LBC, f, mask=None, clamp=None):

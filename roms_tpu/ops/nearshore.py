@@ -1,0 +1,151 @@
+"""Wave-induced radiation stress forcing (nearshore kernels).
+
+The analog of ROMS/Nonlinear/radiation_stress.F dispatching to
+nearshore_mellor05.h (Mellor 2003/2005 formulation, no Svendsen roller):
+given monochromatic surface-wave fields (height Hwave, direction Dwave,
+length Lwave - in the reference supplied by SWAN coupling or wave
+forcing files; here by the forcing dict), compute
+
+  * the 3-D radiation-stress tensor (Sxx, Sxy, Syy) with the Mellor05
+    vertical structure functions FCC/FCS/FSS
+    (nearshore_mellor05.h:455-485),
+  * the flux-form momentum forcing rustr3d/rvstr3d: horizontal stress
+    divergence (:495-540) plus the vertical Szx/Szy term from the
+    horizontal gradients of wave energy and kD (:790-905),
+  * Stokes drift velocities u_stokes/v_stokes and their vertical means
+    (:560-585, :916-940).
+
+Application (stepping.py): ru -= rustr_u (flux form), and the vertical
+integral joins rufrc so the barotropic mode carries the depth-integrated
+stress (the reference adds rustr2d inside step2d; folding it through
+rufrc is the functionally equivalent route in the explicit coupling
+scheme used here).  Documented delta: Stokes-drift advection of momentum
+and tracers (the reference's Huon+Huon_stokes sums throughout rhs3d/
+pre_step3d/step3d_t) is not yet wired; the Stokes velocities are
+computed and exposed for output/diagnostics.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..config import Config
+from ..grid import Grid
+from .stencil import ip1, im1, jp1, jm1, at_u, at_v, at_p
+
+_EPS = 1.0e-14
+_KDMAX = 5.0
+_LWAVE_MIN = 1.0
+
+
+class NearshoreForcing(NamedTuple):
+    rustr3d: jnp.ndarray      # (N,Ny,Nx) flux-form u-forcing (m4/s2)
+    rvstr3d: jnp.ndarray
+    rustr2d: jnp.ndarray      # depth-integrated (Ny,Nx)
+    rvstr2d: jnp.ndarray
+    u_stokes: jnp.ndarray     # (N,Ny,Nx) Stokes drift (m/s)
+    v_stokes: jnp.ndarray
+    ubar_stokes: jnp.ndarray  # vertical means (Ny,Nx)
+    vbar_stokes: jnp.ndarray
+    Sxx: jnp.ndarray          # (N,Ny,Nx) radiation stresses (m3/s2)
+    Sxy: jnp.ndarray
+    Syy: jnp.ndarray
+
+
+def radiation_stress(cfg: Config, grid: Grid, zeta, Hz, Cs_r, Cs_w,
+                     Hwave, Dwave, Lwave) -> NearshoreForcing:
+    """Mellor05 radiation stresses and Stokes velocities.
+
+    zeta: free surface at the rhs time level; Hz: level thicknesses;
+    Hwave (m), Dwave (rad, direction waves travel TOWARD, nautical
+    convention as in the reference), Lwave (m)."""
+    g = C.g
+    h = grid.h
+    Dstp = zeta + h
+
+    waven = 2.0 * jnp.pi / jnp.maximum(Lwave, _LWAVE_MIN)
+    owaven = 1.0 / waven
+    cdir = 1.5 * jnp.pi - Dwave - grid.angler
+    wavenx = waven * jnp.cos(cdir)
+    waveny = waven * jnp.sin(cdir)
+    waveE = 0.0625 * g * Hwave * Hwave
+    kD = jnp.minimum(waven * Dstp + _EPS, _KDMAX)
+    wavec = jnp.sqrt(g * owaven * jnp.tanh(kD))
+    ocosh = 1.0 / jnp.cosh(kD)
+    osinh = 1.0 / jnp.sinh(kD)
+    o2sinh = 1.0 / jnp.sinh(2.0 * kD)
+
+    # ---- vertical structure at rho levels (fac2 = 1 + Cs_r) ----
+    fac2 = (1.0 + Cs_r)[:, None, None]
+    FCCr = jnp.cosh(kD * fac2) * ocosh
+    FCSr = jnp.cosh(kD * fac2) * osinh
+    FSSr = jnp.sinh(kD * fac2) * osinh
+    waveEr = waven * waveE * FCSr * FCCr
+    cff4 = waveE * waven * FCSr * (FCCr - FSSr)
+    ow2 = owaven * owaven
+    Sxx = cff4 + waveEr * wavenx * wavenx * ow2
+    Syy = cff4 + waveEr * waveny * waveny * ow2
+    Sxy = waveEr * wavenx * waveny * ow2
+
+    # ---- horizontal stress divergence (flux form) ----
+    on_u = grid.on_u
+    om_u = 2.0 / (jnp.roll(grid.pm, 1, -1) + grid.pm)
+    om_v = grid.om_v
+    on_v = 2.0 / (jnp.roll(grid.pn, 1, -2) + grid.pn)
+    SxxH = Sxx * Hz
+    SyyH = Syy * Hz
+    rustr = (SxxH - im1(SxxH)) * on_u
+    rvstr = (SyyH - jm1(SyyH)) * om_v
+    UFe = at_p(Hz) * at_p(Sxy)               # psi-point cross stress
+    rustr = rustr + (jp1(UFe) - UFe) * om_u
+    rvstr = rvstr + (ip1(UFe) - UFe) * on_v
+
+    # ---- vertical Szx/Szy terms (w-level structure; :790-905) ----
+    fac2w = (1.0 + Cs_w)[:, None, None]
+
+    def _vert_term(kD_s, E_s, dE, dkD, pn_half):
+        FCC = jnp.cosh(kD_s * fac2w) / jnp.cosh(kD_s)
+        FCS = jnp.cosh(kD_s * fac2w) / jnp.sinh(kD_s)
+        FSS = jnp.sinh(kD_s * fac2w) / jnp.sinh(kD_s)
+        otanh = 1.0 / jnp.tanh(kD_s)
+        CF = pn_half * (FSS * dE + E_s * dkD * (FCS * fac2w - FSS * otanh))
+        FC = (FSS - FCC) * CF
+        return FC[1:] - FC[:-1]              # (N,Ny,Nx)
+
+    kD_u = 0.5 * (im1(kD) + kD)
+    Szx = _vert_term(jnp.maximum(kD_u, _EPS),
+                     im1(waveE) + waveE,
+                     waveE - im1(waveE), kD - im1(kD),
+                     0.25 * (im1(grid.pn) + grid.pn))
+    kD_v = 0.5 * (jm1(kD) + kD)
+    Szy = _vert_term(jnp.maximum(kD_v, _EPS),
+                     jm1(waveE) + waveE,
+                     waveE - jm1(waveE), kD - jm1(kD),
+                     0.25 * (jm1(grid.pm) + grid.pm))
+    rustr = (rustr + Szx * om_u * on_u) * grid.umask
+    rvstr = (rvstr + Szy * om_v * on_v) * grid.vmask
+
+    # ---- Stokes drift velocities (:560-585) ----
+    u_st = (im1(waveE) + waveE) * (im1(wavenx) + wavenx) / \
+        (im1(wavec) + wavec) * jnp.cosh((im1(kD) + kD) * fac2) * \
+        0.5 * (im1(o2sinh) + o2sinh) * grid.umask
+    v_st = (jm1(waveE) + waveE) * (jm1(waveny) + waveny) / \
+        (jm1(wavec) + wavec) * jnp.cosh((jm1(kD) + kD) * fac2) * \
+        0.5 * (jm1(o2sinh) + o2sinh) * grid.vmask
+
+    Hz_u = 0.5 * (im1(Hz) + Hz)
+    Hz_v = 0.5 * (jm1(Hz) + Hz)
+    D_u = jnp.sum(Hz_u, axis=0)
+    D_v = jnp.sum(Hz_v, axis=0)
+    ubar_st = jnp.sum(Hz_u * u_st, axis=0) / jnp.maximum(D_u, _EPS)
+    vbar_st = jnp.sum(Hz_v * v_st, axis=0) / jnp.maximum(D_v, _EPS)
+
+    return NearshoreForcing(
+        rustr3d=rustr, rvstr3d=rvstr,
+        rustr2d=jnp.sum(rustr, axis=0), rvstr2d=jnp.sum(rvstr, axis=0),
+        u_stokes=u_st, v_stokes=v_st,
+        ubar_stokes=ubar_st, vbar_stokes=vbar_st,
+        Sxx=Sxx, Sxy=Sxy, Syy=Syy)

@@ -279,10 +279,15 @@ def fast_loop_fused(cfg: Config, grid: Grid, fs: Fast2DState,
         (k_rufrc, k_rvfrc, k_ru0_nm1, k_ru0_nm2,
          k_rv0_nm1, k_rv0_nm2) = vals[17:23]
         g = _grid_lite(cfg, dict(zip(_GRID_FIELDS, vals[23:])))
-        fs_out, rufrc_c, rvfrc_c = _core(
-            cfg, g, kfs, k_rufrc, k_rvfrc, k_ru0_nm1, k_ru0_nm2,
-            k_rv0_nm1, k_rv0_nm2, iic_ref[0],
-            lambda k: w1_ref[k], lambda k: w2_ref[k], dtype)
+        # boundary writes as masked where-ops: Mosaic has no scatter
+        bc.push_masked()
+        try:
+            fs_out, rufrc_c, rvfrc_c = _core(
+                cfg, g, kfs, k_rufrc, k_rvfrc, k_ru0_nm1, k_ru0_nm2,
+                k_rv0_nm1, k_rv0_nm2, iic_ref[0],
+                lambda k: w1_ref[k], lambda k: w2_ref[k], dtype)
+        finally:
+            bc.pop_masked()
         results = [getattr(fs_out, k) for k in _FS_FIELDS] + \
             [rufrc_c, rvfrc_c]
         for ref, val in zip(outs, results):

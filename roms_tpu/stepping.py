@@ -210,6 +210,21 @@ def step(cfg: Config, grid: Grid, state: State,
     else:
         ru, rv, rufrc, rvfrc = res3d
 
+    # --- wave radiation-stress body force (main3d's radiation_stress
+    #     call; ops/nearshore.py Mellor05).  Applied to ru/rv like the
+    #     reference's rhs3d.F:994 and folded into rufrc so the fast
+    #     loop carries the depth-integrated stress ---
+    if cfg.nearshore == "mellor05" and "Hwave" in frc:
+        from .ops.nearshore import radiation_stress
+        ns = radiation_stress(
+            cfg, grid, state.zeta, Hz, grid.Cs_r, grid.Cs_w,
+            frc["Hwave"], frc.get("Dwave", zero2),
+            frc.get("Lwave", zero2 + 100.0))
+        ru = ru - ns.rustr3d
+        rv = rv - ns.rvstr3d
+        rufrc = rufrc - ns.rustr2d
+        rvfrc = rvfrc - ns.rvstr2d
+
     if cfg.uv_vis2 and cfg.visc2 != 0.0:
         if cfg.uv_mix_geo:
             u_nnew, v_nnew, rufrc, rvfrc = uv3dmix2_geo(
