@@ -1,0 +1,60 @@
+"""Pinned UPWELLING trajectory anchor (SURVEY §6 north-star gate).
+
+Guards the exact time-stepping numerics - LF-AM3 weight tables,
+prsgrd32 splines density Jacobian, the barotropic-consistency
+correction - against silent drift: 10 slow steps of the full-size
+UPWELLING case (41x80x16, DT=300 s, NDTFAST=30;
+ROMS/External/roms_upwelling.in:94-96,224-226) in float64 must
+reproduce the stored fields to near round-off.
+
+Provenance note (documented limitation): the image has no Fortran
+toolchain, so the anchor is this framework's own f64 trajectory, pinned
+at round 4 - it detects regressions, not absolute Fortran agreement.
+The physics itself is validated against analytic solutions and the
+reference's documented check values elsewhere (test_step3d.py,
+test_cases.py, rho_eos JM95 values in test_vmix.py).
+"""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from roms_tpu import stepping
+from roms_tpu.models import upwelling
+
+pytestmark = pytest.mark.smoke
+
+_ANCHOR = os.path.join(os.path.dirname(__file__), "data",
+                       "upwelling_anchor.npz")
+
+
+def test_upwelling_10step_anchor():
+    ref = np.load(_ANCHOR)
+    cfg = upwelling.make_config()
+    cfg, grid, s, ffn = upwelling.build(cfg)
+    step = jax.jit(lambda s: stepping.step(cfg, grid, s, ffn))
+    for _ in range(10):
+        s = step(s)
+    H = cfg.halo
+    inter = lambda a: np.asarray(a)[..., H:H + cfg.Mm, H:H + cfg.Lm]
+    zeta = inter(s.zeta)
+    u = inter(s.u)
+    v = inter(s.v)
+    t0 = inter(s.t)[0]
+
+    np.testing.assert_allclose(zeta, ref["zeta"], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(u[:, ::8, ::8], ref["u_sub"],
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(v[:, ::8, ::8], ref["v_sub"],
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(t0[:, ::8, ::8], ref["temp_sub"],
+                               rtol=0, atol=1e-10)
+    # integral invariants: free-surface volume anomaly ~ 0 (exact
+    # conservation of the split-explicit coupling), heat content pinned
+    assert abs(float(zeta.sum())) < 1e-10
+    np.testing.assert_allclose(float(t0.sum()), float(ref["temp_sum"]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(float(np.sqrt((u ** 2).mean())),
+                               float(ref["u_rms"]), rtol=1e-10)
