@@ -217,6 +217,78 @@ def extract_bry(cfg_c: Config, grid_c: Grid, state_c, spec: RefineSpec,
     return bry
 
 
+def conserve_bry_flux(cfg_c: Config, grid_c: Grid, state_c,
+                      spec: RefineSpec, cfg_f: Config, grid_f: Grid,
+                      bry: dict) -> dict:
+    """check_massflux analog (nesting.F:50): rescale the interpolated
+    fine-boundary normal velocities so that, per parent contact face,
+    the summed fine transports ubar_f*D_f*dy_f equal the parent
+    transport ubar_c*D_c*dy_c.  Bilinear interpolation alone does not
+    conserve the contact-line volume flux; this correction is what makes
+    two-way refinement volume-consistent."""
+    r = spec.factor
+    Hc, Hf = cfg_c.halo, cfg_f.halo
+    D_c = state_c.zeta + grid_c.h
+    eps = 1.0e-30
+
+    def scale_we(side):
+        iu_c = Hc + spec.istr - 1 if side == "west" else Hc + spec.iend
+        iu_f = Hf if side == "west" else Hf + cfg_f.Lm
+        # parent transports along the contact column
+        Du_c = 0.5 * (D_c[:, iu_c - 1] + D_c[:, iu_c])
+        on_c = grid_c.on_u[:, iu_c]
+        Tc = (state_c.ubar[:, iu_c] * Du_c * on_c)[
+            Hc + spec.jstr - 1:Hc + spec.jend]              # (ncj,)
+        # fine face geometry along the ring
+        hu_f = 0.5 * (grid_f.h[:, iu_f - 1] + grid_f.h[:, iu_f])
+        on_f = grid_f.on_u[:, iu_f]
+        zl = bry[f"zeta_{side}"]
+        ub = bry[f"ubar_{side}"]
+        j0 = Hf
+        n = cfg_f.Mm
+        Dfdy = ((hu_f + zl) * on_f)[j0:j0 + n]
+        Tf_g = (ub[j0:j0 + n] * Dfdy).reshape(n // r, r).sum(-1)
+        # additive correction: distribute the transport deficit as a
+        # uniform velocity increment over the group's faces
+        du = (Tc - Tf_g) / jnp.maximum(
+            Dfdy.reshape(n // r, r).sum(-1), eps)
+        du_line = jnp.zeros_like(ub).at[j0:j0 + n].set(
+            jnp.repeat(du, r))
+        bry[f"ubar_{side}"] = ub + du_line
+        bry[f"u_{side}"] = bry[f"u_{side}"] + du_line
+        return bry
+
+    def scale_sn(side):
+        jv_c = Hc + spec.jstr - 1 if side == "south" else Hc + spec.jend
+        jv_f = Hf if side == "south" else Hf + cfg_f.Mm
+        Dv_c = 0.5 * (D_c[jv_c - 1, :] + D_c[jv_c, :])
+        om_c = grid_c.om_v[jv_c, :]
+        Tc = (state_c.vbar[jv_c, :] * Dv_c * om_c)[
+            Hc + spec.istr - 1:Hc + spec.iend]
+        hv_f = 0.5 * (grid_f.h[jv_f - 1, :] + grid_f.h[jv_f, :])
+        om_f = grid_f.om_v[jv_f, :]
+        zl = bry[f"zeta_{side}"]
+        vb = bry[f"vbar_{side}"]
+        i0 = Hf
+        n = cfg_f.Lm
+        Dfdx = ((hv_f + zl) * om_f)[i0:i0 + n]
+        Tf_g = (vb[i0:i0 + n] * Dfdx).reshape(n // r, r).sum(-1)
+        dv = (Tc - Tf_g) / jnp.maximum(
+            Dfdx.reshape(n // r, r).sum(-1), eps)
+        dv_line = jnp.zeros_like(vb).at[i0:i0 + n].set(
+            jnp.repeat(dv, r))
+        bry[f"vbar_{side}"] = vb + dv_line
+        bry[f"v_{side}"] = bry[f"v_{side}"] + dv_line
+        return bry
+
+    bry = dict(bry)
+    for side in ("west", "east"):
+        bry = scale_we(side)
+    for side in ("south", "north"):
+        bry = scale_sn(side)
+    return bry
+
+
 def init_refined(cfg_c: Config, grid_c: Grid, state_c, spec: RefineSpec,
                  cfg_f: Config, grid_f: Grid):
     """Initialize the fine state by bilinear interpolation of the parent
@@ -246,13 +318,18 @@ def _block_mean(a, r):
 
 
 def fine2coarse(cfg_c: Config, state_c, cfg_f: Config, state_f,
-                spec: RefineSpec, margin: int = 1):
+                spec: RefineSpec, margin: int = 1,
+                grid_f: "Grid" = None, preserve_volume: bool = False):
     """Two-way update: replace the parent cells covered by the fine grid
     (minus `margin` parent cells next to the contact boundary) with
     block averages of the fine solution (nesting.F fine2coarse).
 
-    zeta/t: factor x factor cell averages; u/v: averages of the factor
-    coincident fine faces along each parent face."""
+    With grid_f given, the averaging is CONSERVATIVE in the reference's
+    Hz-weighted sense (nesting.F fine2coarse Hz2/Hz weighting): tracers
+    are thickness*area-weighted means so coarse-cell tracer content
+    equals the summed fine content, and u/v are transport-weighted
+    (sum of fine face transports / sum of fine face areas).  Without
+    grid_f the original plain block means are used."""
     r = spec.factor
     Hc, Hf = cfg_c.halo, cfg_f.halo
     m = margin
@@ -265,43 +342,101 @@ def fine2coarse(cfg_c: Config, state_c, cfg_f: Config, state_f,
     njc = cj1 - cj0
     nic = ci1 - ci0
 
-    def rho_avg(cfield, ffield):
-        blk = _block_mean(
-            ffield[..., fj0:fj0 + njc * r, fi0:fi0 + nic * r], r)
+    if grid_f is not None:
+        from . import vgrid
+        from .grid import hc_of
+        _, _, Hz_f = vgrid.set_depth(grid_f.h, state_f.zeta,
+                                     hc_of(cfg_f), grid_f.sc_r,
+                                     grid_f.Cs_r, grid_f.sc_w,
+                                     grid_f.Cs_w, cfg_f.vtransform)
+        from .ops.stencil import im1 as _im1, jm1 as _jm1
+        Hzu_f = 0.5 * (_im1(Hz_f) + Hz_f)
+        Hzv_f = 0.5 * (_jm1(Hz_f) + Hz_f)
+        area_f = 1.0 / (grid_f.pm * grid_f.pn)
+    else:
+        Hz_f = Hzu_f = Hzv_f = area_f = None
+
+    def rho_avg(cfield, ffield, weight=None):
+        blk_f = ffield[..., fj0:fj0 + njc * r, fi0:fi0 + nic * r]
+        if weight is None:
+            blk = _block_mean(blk_f, r)
+        else:
+            w = weight[..., fj0:fj0 + njc * r, fi0:fi0 + nic * r]
+            blk = _block_mean(blk_f * w, r) / _block_mean(w, r)
         return cfield.at[..., cj0:cj1, ci0:ci1].set(
             blk.astype(cfield.dtype))
 
-    zeta = rho_avg(state_c.zeta, state_f.zeta)
-    t = rho_avg(state_c.t, state_f.t)
+    zeta = rho_avg(state_c.zeta, state_f.zeta,
+                   weight=area_f if area_f is not None else None)
+    if area_f is not None and preserve_volume:
+        # volume-preserving feedback (opt-in): adopt the fine spatial
+        # structure but keep the coarse block-mean free surface, which
+        # makes the composite volume exactly conserved.  Trade-off: the
+        # shifted zeta is no longer consistent with the coarse flux
+        # accounting, so exact tracer constancy degrades to O(shift);
+        # the reference avoids the dilemma by substituting fine fluxes
+        # into the coarse continuity update at its in-step sync points
+        # (nesting.F check_massflux / fine2coarse) - the remaining gap
+        # of this sequential coupling, documented in PARITY.md.
+        # (plain mean == area-weighted mean on the uniform parent grids
+        # build_refined supports)
+        sl = (Ellipsis, slice(cj0, cj1), slice(ci0, ci1))
+        shift = jnp.mean(state_c.zeta[sl]) - jnp.mean(zeta[sl])
+        zeta = zeta.at[sl].add(shift)
+    t = rho_avg(state_c.t, state_f.t,
+                weight=(Hz_f * area_f) if Hz_f is not None else None)
 
     # u faces: parent u index iu in [istr+1+m .. iend+1-m) maps to fine
     # u index 1 + r*(iu - istr); average r tangential fine faces
-    def u_avg(cfield, ffield):
+    # (transport-weighted when fine thicknesses are available)
+    def face_avg_u(cfield, ffield, weight):
         iu0, iu1 = spec.istr + m, spec.iend + 1 - m
         cu0, cu1 = Hc + iu0 - 1, Hc + iu1 - 1
         fu = Hf + r * (iu0 - spec.istr)                # fine padded col
-        cols = ffield[..., fj0:fj0 + njc * r,
-                      fu:fu + (iu1 - iu0) * r:r]
-        sh = cols.shape
-        blk = cols.reshape(sh[:-2] + (njc, r, sh[-1])).mean(-2)
+        sl = (Ellipsis, slice(fj0, fj0 + njc * r),
+              slice(fu, fu + (iu1 - iu0) * r, r))
+
+        def grp(a):
+            sh = a.shape
+            return a.reshape(sh[:-2] + (njc, r, sh[-1])).sum(-2)
+
+        if weight is None:
+            blk = grp(ffield[sl]) / r
+        else:
+            w = weight[sl]
+            blk = grp(ffield[sl] * w) / grp(w)
         return cfield.at[..., cj0:cj1, cu0:cu1].set(
             blk.astype(cfield.dtype))
 
-    def v_avg(cfield, ffield):
+    def face_avg_v(cfield, ffield, weight):
         jv0, jv1 = spec.jstr + m, spec.jend + 1 - m
         cv0, cv1 = Hc + jv0 - 1, Hc + jv1 - 1
         fv = Hf + r * (jv0 - spec.jstr)
-        rows = ffield[..., fv:fv + (jv1 - jv0) * r:r,
-                      fi0:fi0 + nic * r]
-        sh = rows.shape
-        blk = rows.reshape(sh[:-2] + (sh[-2], nic, r)).mean(-1)
+        sl = (Ellipsis, slice(fv, fv + (jv1 - jv0) * r, r),
+              slice(fi0, fi0 + nic * r))
+
+        def grp(a):
+            sh = a.shape
+            return a.reshape(sh[:-2] + (sh[-2], nic, r)).sum(-1)
+
+        if weight is None:
+            blk = grp(ffield[sl]) / r
+        else:
+            w = weight[sl]
+            blk = grp(ffield[sl] * w) / grp(w)
         return cfield.at[..., cv0:cv1, ci0:ci1].set(
             blk.astype(cfield.dtype))
 
-    u = u_avg(state_c.u, state_f.u)
-    ubar = u_avg(state_c.ubar, state_f.ubar)
-    v = v_avg(state_c.v, state_f.v)
-    vbar = v_avg(state_c.vbar, state_f.vbar)
+    u = face_avg_u(state_c.u, state_f.u, Hzu_f)
+    v = face_avg_v(state_c.v, state_f.v, Hzv_f)
+    if Hzu_f is not None:
+        Du = jnp.sum(Hzu_f, axis=0)
+        Dv = jnp.sum(Hzv_f, axis=0)
+        ubar = face_avg_u(state_c.ubar, state_f.ubar, Du)
+        vbar = face_avg_v(state_c.vbar, state_f.vbar, Dv)
+    else:
+        ubar = face_avg_u(state_c.ubar, state_f.ubar, None)
+        vbar = face_avg_v(state_c.vbar, state_f.vbar, None)
 
     from .ops import bc
     fh = lambda a: bc.fill_halo(cfg_c, a)
@@ -317,15 +452,30 @@ def make_nested_stepper(cfg_c: Config, grid_c: Grid, cfg_f: Config,
                         grid_f: Grid, spec: RefineSpec,
                         forcing_c: Optional[Callable] = None,
                         forcing_f: Optional[Callable] = None,
-                        two_way: bool = True):
+                        two_way: bool = True,
+                        conserve: bool = False):
     """Returns jitted step_nested(state_c, state_f) -> (state_c, state_f)
-    advancing the pair by one PARENT step."""
+    advancing the pair by one PARENT step.
+
+    conserve=True enables the contact-line mass-flux correction
+    (conserve_bry_flux, the check_massflux analog) and Hz-weighted
+    conservative fine->coarse feedback.  Trade-off of this sequential
+    coupling: the corrected boundary velocities are no longer exactly
+    consistent with the clamped zeta/t rings, so exact tracer constancy
+    (default path, ~1e-9) degrades to ~1e-5; the reference reconciles
+    both by substituting fluxes inside the coarse continuity update at
+    its in-step sync points (PARITY.md documents the gap)."""
     from . import stepping
 
     def step_nested(sc, sf):
         bry0 = extract_bry(cfg_c, grid_c, sc, spec, cfg_f)
         sc_new = stepping.step(cfg_c, grid_c, sc, forcing_c)
         bry1 = extract_bry(cfg_c, grid_c, sc_new, spec, cfg_f)
+        if conserve:
+            bry0 = conserve_bry_flux(cfg_c, grid_c, sc, spec,
+                                     cfg_f, grid_f, bry0)
+            bry1 = conserve_bry_flux(cfg_c, grid_c, sc_new, spec,
+                                     cfg_f, grid_f, bry1)
         r = spec.factor
         for msub in range(1, r + 1):
             w = msub / r
@@ -339,7 +489,8 @@ def make_nested_stepper(cfg_c: Config, grid_c: Grid, cfg_f: Config,
 
             sf = stepping.step(cfg_f, grid_f, sf, ffn_f)
         if two_way:
-            sc_new = fine2coarse(cfg_c, sc_new, cfg_f, sf, spec)
+            sc_new = fine2coarse(cfg_c, sc_new, cfg_f, sf, spec,
+                                 grid_f=grid_f if conserve else None)
         return sc_new, sf
 
     return jax.jit(step_nested)

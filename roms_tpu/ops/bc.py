@@ -79,13 +79,17 @@ def _owns(ctx: ParCtx, side: str):
 
 
 def _col_mask(f, a):
+    # 2-D broadcasted_iota: Mosaic (Pallas TPU) supports neither 1-D
+    # iota nor minor-dim insertion on i1 vectors
     nx = f.shape[-1]
-    return jnp.arange(nx) == (a % nx)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (1, nx), 1)
+    return ii == (a % nx)
 
 
 def _row_mask(f, a):
     ny = f.shape[-2]
-    return (jnp.arange(ny) == (a % ny))[:, None]
+    jj = jax.lax.broadcasted_iota(jnp.int32, (ny, 1), 0)
+    return jj == (a % ny)
 
 _ADVANCED = {BC_RADIATION, BC_CHAPMAN_EXPLICIT, BC_CHAPMAN_IMPLICIT,
              BC_FLATHER, BC_CLAMPED}
