@@ -49,6 +49,23 @@ def _col(a, i):
     return a[..., i]
 
 
+def _set_ring(qo, ab, qb, side):
+    """Write the boundary ring column (axis already moved to -1).
+    Under a ParCtx (shard_map) the write is gated to the shard owning
+    the physical side and expressed as a masked where (no scatter)."""
+    from . import bc as _bc
+    ctx = _bc.current_ctx()
+    if ctx is None and not _bc._masked_mode():
+        return qo.at[..., ab].set(qb)
+    import jax
+    n = qo.shape[-1]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    m = ii == (ab % n)
+    if ctx is not None:
+        m = _bc._owns(ctx, side) & m
+    return jnp.where(m, qb[..., None], qo)
+
+
 def radiation(cfg: Config, q_know, q_kout, side: str, ab: int,
               nudg_in: float = 0.0, nudg_out: float = 0.0,
               ext=None, dt: float = 0.0, mask=None):
@@ -79,7 +96,7 @@ def radiation(cfg: Config, q_know, q_kout, side: str, ab: int,
         qb = qb + tau * (ext - _col(qn, ab))
     if mask is not None:
         qb = qb * _col(_ax(mask + 0 * q_kout, axis), ab)
-    qo = qo.at[..., ab].set(qb)
+    qo = _set_ring(qo, ab, qb, side)
     return _unax(qo, axis)
 
 
@@ -104,7 +121,7 @@ def chapman(cfg: Config, grid, z_know, z_kout, side: str,
         zb = (1.0 - cffc) * _col(zn, ab) + cffc * _col(zn, ai)
     if mask is not None:
         zb = zb * _col(_ax(mask, axis), ab)
-    zo = zo.at[..., ab].set(zb)
+    zo = _set_ring(zo, ab, zb, side)
     return _unax(zo, axis)
 
 
@@ -132,7 +149,7 @@ def flather(cfg: Config, grid, ub_kout, z_know, side: str,
     ub = ext_ubar - sign * Cx * (zavg - zext)
     if mask is not None:
         ub = ub * _col(_ax(mask, axis), ab)
-    uo = uo.at[..., ab].set(ub)
+    uo = _set_ring(uo, ab, ub, side)
     return _unax(uo, axis)
 
 
@@ -175,7 +192,7 @@ def shchepetkin(cfg: Config, grid, ub_know, ub_kout, z_know, z_kout,
                 ext_ubar - sign * cff1 * (Zx - ext_zeta))
     if mask is not None:
         ub = ub * _col(_ax(mask, axis), ab)
-    uo = uo.at[..., ab].set(ub)
+    uo = _set_ring(uo, ab, ub, side)
     return _unax(uo, axis)
 
 
@@ -234,7 +251,7 @@ def reduced(cfg: Config, grid, ub_know, ub_kout, z_know, vt_know,
     ub = _col(un, ab) + dt2d * (bry_pgr + bry_cor + bry_str)
     if mask is not None:
         ub = ub * _col(_ax(mask, axis), ab)
-    uo = uo.at[..., ab].set(ub)
+    uo = _set_ring(uo, ab, ub, side)
     return _unax(uo, axis)
 
 
@@ -244,7 +261,7 @@ def clamped(cfg: Config, q_kout, side: str, ab: int, ext, mask=None):
     qb = ext + 0.0 * _col(qo, ab)
     if mask is not None:
         qb = qb * _col(_ax(mask + 0 * q_kout, axis), ab)
-    qo = qo.at[..., ab].set(qb)
+    qo = _set_ring(qo, ab, qb, side)
     return _unax(qo, axis)
 
 

@@ -35,14 +35,15 @@ from ..ops import bc
 
 
 def supported(cfg: Config) -> bool:
-    """Configurations the local shard_map path implements exactly."""
-    if cfg.volcons or cfg.wetdry:
-        return False
-    for lbc in (cfg.lbc_zeta, cfg.lbc_ubar, cfg.lbc_vbar, cfg.lbc_u,
-                cfg.lbc_v, cfg.lbc_t):
-        if bc.has_advanced(lbc):
-            return False
-    return True
+    """Configurations the local shard_map path implements exactly.
+
+    Open-boundary algorithms (radiation/Chapman/Flather/...) and
+    wetting-drying are supported: ops/obc.py ring writes are
+    edge-shard-gated under the ParCtx.  Exclusions: OBC volume
+    conservation (global boundary integrals -> needs psum plumbing) and
+    external boundary DATA (`bry` dicts are global 1-D lines; blocking
+    them is not implemented - guarded at trace time in the stepper)."""
+    return not cfg.volcons
 
 
 def _is_field(cfg: Config, a) -> bool:
@@ -155,6 +156,17 @@ def make_smap_stepper(cfg: Config, grid, mesh: Mesh,
     cfg_l = local_config(cfg, mesh)
     grid_b = block(cfg, mesh, grid)
     grid_specs = _blocked_specs(cfg_l, grid_b)
+
+    if forcing_fn is not None:
+        _fn = forcing_fn
+
+        def forcing_fn(c, g, t):
+            frc = _fn(c, g, t)
+            if "bry" in frc:
+                raise NotImplementedError(
+                    "external boundary data (bry) is not supported on "
+                    "the shard_map path yet; use the GSPMD stepper")
+            return frc
 
     def local_step(grid_blk, state_blk):
         gl = jax.tree_util.tree_map(

@@ -81,3 +81,59 @@ def test_smap_matches_single_device_closed_basin():
         a = np.asarray(getattr(sA, name))
         b = np.asarray(getattr(sB, name))
         np.testing.assert_allclose(b, a, rtol=0, atol=1e-11, err_msg=name)
+
+
+@needs8
+def test_smap_radiation_obc_wetdry():
+    """Radiation OBCs + wetting-drying over an 8-device mesh: the
+    obc.py ring writes and wetdry masks are edge-shard-gated; results
+    must match single-device exactly (VERDICT r3 item 3 criterion)."""
+    from roms_tpu.config import Config, LBC, BC_RADIATION
+    from roms_tpu.grid import build_grid
+    from roms_tpu.state import initial_state
+    from roms_tpu.ops import bc as bc_mod
+
+    rad = LBC(west=BC_RADIATION, east=BC_RADIATION)
+    cfg = Config(
+        name="smap_rad", Lm=24, Mm=16, N=4, ntracers=2,
+        ew_periodic=False, ns_periodic=False,
+        dt=60.0, ndtfast=10, solve3d=True,
+        vtransform=2, vstretching=4, theta_s=0.0, theta_b=0.0,
+        tcline=1.0e16, uv_adv=True, uv_cor=False,
+        bottom_drag="linear", rdrg=3.0e-4,
+        vmix="none", eos="linear", Tcoef=0.0, Scoef=0.0,
+        t_hadv=("U3", "U3"), t_vadv=("C4", "C4"),
+        lbc_zeta=rad, lbc_ubar=rad, lbc_vbar=rad,
+        lbc_u=rad, lbc_v=rad, lbc_t=rad,
+        wetdry=True, dcrit=0.1,
+        dtype="float64")
+    grid, cfg = build_grid(
+        cfg, Xsize=24.0e3, Esize=16.0e3, f0=0.0, beta=0.0,
+        depth_fn=lambda x, y, i, j, c: 5.0 + 95.0 * x / 24.0e3)
+    assert smap.supported(cfg)
+
+    Hc = cfg.halo
+    x = grid.xr - 12.0e3
+    y = grid.yr - 8.0e3
+    zeta0 = bc_mod.fill_halo(
+        cfg, 0.2 * jnp.exp(-(x ** 2 + y ** 2) / (3.0e3 ** 2)))
+    t0 = jnp.stack(
+        [jnp.full((cfg.N, cfg.ny_tot, cfg.nx_tot), 17.0),
+         jnp.full((cfg.N, cfg.ny_tot, cfg.nx_tot), 35.0)])
+    s0 = initial_state(cfg, zeta=zeta0, t=t0)
+
+    nsteps = 4
+    runA = jax.jit(lambda s: stepping.run(cfg, grid, s, nsteps))
+    sA = jax.device_get(runA(s0))
+    assert np.isfinite(np.asarray(sA.zeta)).all()
+
+    mesh = make_mesh(jax.devices()[:8], shape=(2, 4))
+    stepB = smap.make_smap_stepper(cfg, grid, mesh)
+    sb = smap.block(cfg, mesh, s0)
+    for _ in range(nsteps):
+        sb = stepB(sb)
+    sB = jax.device_get(smap.unblock(cfg, mesh, sb))
+    for name in ("zeta", "ubar", "vbar", "u", "v", "t"):
+        a = np.asarray(getattr(sA, name))
+        b = np.asarray(getattr(sB, name))
+        np.testing.assert_allclose(b, a, rtol=0, atol=1e-11, err_msg=name)
