@@ -116,6 +116,161 @@ REGISTRY = {
                      "meter second-1", "v2"),
 }
 
+# --- additional registry entries (varinfo.yaml parity for the fields
+# this framework computes or accepts; grouped as in the reference) ---
+REGISTRY.update({
+    # grid/static (get_grid.F variable set)
+    "lon_u": VarInfo("lon_u", "longitude of U-points", "degree_east",
+                     "u2", time=False),
+    "lat_u": VarInfo("lat_u", "latitude of U-points", "degree_north",
+                     "u2", time=False),
+    "lon_v": VarInfo("lon_v", "longitude of V-points", "degree_east",
+                     "v2", time=False),
+    "lat_v": VarInfo("lat_v", "latitude of V-points", "degree_north",
+                     "v2", time=False),
+    "mask_u": VarInfo("mask_u", "mask on U-points", "nondimensional",
+                      "u2", time=False),
+    "mask_v": VarInfo("mask_v", "mask on V-points", "nondimensional",
+                      "v2", time=False),
+    "mask_psi": VarInfo("mask_psi", "mask on psi-points",
+                        "nondimensional", "r2", time=False),
+    "s_rho": VarInfo("s_rho", "S-coordinate at RHO-points",
+                     "nondimensional", "sr", time=False),
+    "s_w": VarInfo("s_w", "S-coordinate at W-points", "nondimensional",
+                   "sw", time=False),
+    "hc": VarInfo("hc", "S-coordinate critical depth", "meter", "r2",
+                  time=False),
+    "Tcline": VarInfo("Tcline", "S-coordinate surface/bottom layer "
+                      "width", "meter", "r2", time=False),
+    "theta_s": VarInfo("theta_s", "S-coordinate surface control "
+                       "parameter", "nondimensional", "r2", time=False),
+    "theta_b": VarInfo("theta_b", "S-coordinate bottom control "
+                       "parameter", "nondimensional", "r2", time=False),
+    # free surface / momentum time means & detided (set_avg.F)
+    "zeta_avg": VarInfo("zeta_avg", "time-averaged free-surface",
+                        "meter", "r2"),
+    "DU_avg2": VarInfo("DU_avg2", "time-averaged u-transport for 3D "
+                       "advection", "meter3 second-1", "u2"),
+    "DV_avg2": VarInfo("DV_avg2", "time-averaged v-transport for 3D "
+                       "advection", "meter3 second-1", "v2"),
+    # surface forcing fields (mod_forces / frc files)
+    "Uwind": VarInfo("Uwind", "surface u-wind component",
+                     "meter second-1", "r2"),
+    "Vwind": VarInfo("Vwind", "surface v-wind component",
+                     "meter second-1", "r2"),
+    "Tair": VarInfo("Tair", "surface air temperature", "Celsius", "r2"),
+    "Pair": VarInfo("Pair", "surface air pressure", "millibar", "r2"),
+    "Qair": VarInfo("Qair", "surface air relative humidity",
+                    "percentage", "r2"),
+    "rain": VarInfo("rain", "rain fall rate",
+                    "kilogram meter-2 second-1", "r2"),
+    "cloud": VarInfo("cloud", "cloud fraction", "nondimensional", "r2"),
+    "lhflx": VarInfo("lhflx", "latent heat flux", "watt meter-2", "r2"),
+    "shflx": VarInfo("shflx", "sensible heat flux", "watt meter-2",
+                     "r2"),
+    "lrflx": VarInfo("lrflx", "net longwave radiation flux",
+                     "watt meter-2", "r2"),
+    "EminusP": VarInfo("EminusP", "bulk evaporation minus "
+                       "precipitation", "meter second-1", "r2"),
+    "evaporation": VarInfo("evaporation", "evaporation rate",
+                           "kilogram meter-2 second-1", "r2"),
+    # wave fields (nearshore / bbl forcing)
+    "Hwave": VarInfo("Hwave", "wind-induced significant wave height",
+                     "meter", "r2"),
+    "Dwave": VarInfo("Dwave", "wind-induced wave direction", "radians",
+                     "r2"),
+    "Lwave": VarInfo("Lwave", "wind-induced wave length", "meter",
+                     "r2"),
+    "Pwave_top": VarInfo("Pwave_top", "wind-induced surface wave "
+                         "period", "second", "r2"),
+    # radiation stresses / Stokes drift (nearshore_mellor05 outputs)
+    "Sxx": VarInfo("Sxx", "radiation stress, Sxx component",
+                   "meter3 second-2", "r3"),
+    "Sxy": VarInfo("Sxy", "radiation stress, Sxy component",
+                   "meter3 second-2", "r3"),
+    "Syy": VarInfo("Syy", "radiation stress, Syy component",
+                   "meter3 second-2", "r3"),
+    "u_stokes": VarInfo("u_stokes", "u-Stokes drift velocity",
+                        "meter second-1", "r3"),
+    "v_stokes": VarInfo("v_stokes", "v-Stokes drift velocity",
+                        "meter second-1", "r3"),
+    "ubar_stokes": VarInfo("ubar_stokes", "vertically averaged "
+                           "u-Stokes drift", "meter second-1", "u2"),
+    "vbar_stokes": VarInfo("vbar_stokes", "vertically averaged "
+                           "v-Stokes drift", "meter second-1", "v2"),
+    # mixing / turbulence closure outputs (mod_mixing)
+    "AKk": VarInfo("AKk", "TKE vertical diffusion coefficient",
+                   "meter2 second-1", "w3"),
+    "AKp": VarInfo("AKp", "length-scale vertical diffusion "
+                   "coefficient", "meter2 second-1", "w3"),
+    "ghats": VarInfo("ghats", "KPP nonlocal transport",
+                     "meter second-2", "w3"),
+    # BBL outputs (mod_sedbed / bbl.F)
+    "Zo_def": VarInfo("Zo_def", "default bottom roughness", "meter",
+                      "r2"),
+    "Zo_app": VarInfo("Zo_app", "apparent bottom roughness", "meter",
+                      "r2"),
+    "bustrc": VarInfo("bustrc", "bottom u-current stress",
+                      "newton meter-2", "u2"),
+    "bvstrc": VarInfo("bvstrc", "bottom v-current stress",
+                      "newton meter-2", "v2"),
+    "bustrw": VarInfo("bustrw", "bottom u-wave stress",
+                      "newton meter-2", "u2"),
+    "bvstrw": VarInfo("bvstrw", "bottom v-wave stress",
+                      "newton meter-2", "v2"),
+    "bustrcwmax": VarInfo("bustrcwmax", "bottom u-max wave-current "
+                          "stress", "newton meter-2", "u2"),
+    "bvstrcwmax": VarInfo("bvstrcwmax", "bottom v-max wave-current "
+                          "stress", "newton meter-2", "v2"),
+    # sediment (mod_sedbed)
+    "bed_thickness": VarInfo("bed_thickness", "sediment bed layer "
+                             "thickness", "meter", "r2"),
+    "bed_porosity": VarInfo("bed_porosity", "sediment bed layer "
+                            "porosity", "nondimensional", "r2"),
+    "ripple_height": VarInfo("ripple_height", "bed ripple height",
+                             "meter", "r2"),
+    "ripple_length": VarInfo("ripple_length", "bed ripple length",
+                             "meter", "r2"),
+    # tides (mod_tides)
+    "tide_period": VarInfo("tide_period", "tide angular period",
+                           "hours", "r2", time=False),
+    "tide_Eamp": VarInfo("tide_Eamp", "tidal elevation amplitude",
+                         "meter", "r2", time=False),
+    "tide_Ephase": VarInfo("tide_Ephase", "tidal elevation phase "
+                           "angle", "degrees", "r2", time=False),
+    # 4D-Var / observations (s4dvar obs files)
+    "obs_value": VarInfo("obs_value", "observation value",
+                         "state variable units", "r2"),
+    "obs_error": VarInfo("obs_error", "observation error covariance",
+                         "squared state variable units", "r2"),
+    "obs_time": VarInfo("obs_time", "time of observation", "seconds",
+                        "r2"),
+    "obs_Xgrid": VarInfo("obs_Xgrid", "x-grid observation location",
+                         "nondimensional", "r2"),
+    "obs_Ygrid": VarInfo("obs_Ygrid", "y-grid observation location",
+                         "nondimensional", "r2"),
+    "obs_Zgrid": VarInfo("obs_Zgrid", "z-grid observation location",
+                         "nondimensional", "r2"),
+    # station / floats streams
+    "Xgrid": VarInfo("Xgrid", "x-grid floats locations",
+                     "nondimensional", "r2"),
+    "Ygrid": VarInfo("Ygrid", "y-grid floats locations",
+                     "nondimensional", "r2"),
+    "Zgrid": VarInfo("Zgrid", "z-grid floats locations",
+                     "nondimensional", "r2"),
+    # river/point sources (mod_sources)
+    "river_transport": VarInfo("river_transport", "river runoff "
+                               "vertically integrated mass transport",
+                               "meter3 second-1", "r2"),
+    "river_temp": VarInfo("river_temp", "river runoff potential "
+                          "temperature", "Celsius", "r2"),
+    "river_salt": VarInfo("river_salt", "river runoff salinity",
+                          "nondimensional", "r2"),
+})
+
+# per-tracer diagnostics variables are registered lazily by DiagWriter
+# with names <tracer>_<term> / u_<term> / v_<term> using DIA_TERMS.
+
 # diagnostics-stream metadata (wrt_diags.F / mod_diags.F budget terms);
 # key suffix -> long-name fragment.  Tracer terms are written per tracer
 # as <tracer>_<term>, momentum terms as u_<term>/v_<term>.
