@@ -71,6 +71,15 @@ class GLSParams:
     Pmin: float = 1.0e-12
     akk_bak: float = 5.0e-6
     akp_bak: float = 5.0e-6
+    # Surface TKE wave forcing (gls_corstep.F:278-302,810-918):
+    # CRAIG_BANNER breaking-wave surface TKE flux, CHARNOK stress-derived
+    # surface roughness, ZOS_HSIG wave-amplitude roughness.
+    craig_banner: bool = False
+    charnok: bool = False
+    zos_hsig: bool = False
+    crgban_cw: float = 100.0          # CRGBAN_CW
+    charnok_alpha: float = 1400.0     # CHARNOK_ALPHA
+    zos_hsig_alpha: float = 0.5       # ZOS_HSIG_ALPHA
 
     @staticmethod
     def k_epsilon() -> "GLSParams":
@@ -207,6 +216,15 @@ class Config:
     # "my25", "bvf".
     vmix: Optional[str] = None
     kpp_bottom: bool = False    # LMD_BKPP bottom boundary layer
+    # LMD_DDMIX double-diffusive interior mixing (salt fingering +
+    # diffusive convection; lmd_vmix.F:360-428)
+    lmd_ddmix: bool = False
+    # BODYFORCE: apply surface/bottom stress as a body force spread over
+    # the levels k >= levsfrc / k <= levbfrc (1-based ROMS indices)
+    # instead of boundary fluxes (rhs3d.F:326-470)
+    bodyforce: bool = False
+    levsfrc: int = 1
+    levbfrc: int = 1
     gls_params: "GLSParams" = GLSParams()
     # MY2.5 stability-function variant (KANTHA_CLAYSON vs Galperin;
     # mod_scalars.F:4481-4490)

@@ -43,6 +43,23 @@ class BBLParams:
     calc_znot: bool = True        # SSW_CALC_ZNOT moveable-bed roughness
 
 
+def _limit_bstress(cfg, z_w, Ur, Vr, bustr, bvstr):
+    """Cap |b*str| at 0.75*Hz_bottom*|u_bottom|/dt: the bottom stress
+    may only decelerate the bottom flow toward zero within a step,
+    never reverse it (ssw_bbl.h:674-706; the reference applies this
+    unconditionally in all three BBL closures).  Essential over thin
+    WET_DRY columns where the explicit stress otherwise overshoots."""
+    if cfg is None:        # closure-physics unit tests pass cfg=None
+        return bustr, bvstr
+    cff = 0.75 / cfg.dt
+    Hzb = z_w[1] - z_w[0]
+    cap_u = cff * 0.5 * (Hzb + im1(Hzb)) * jnp.abs(Ur)
+    bustr = jnp.sign(bustr) * jnp.minimum(jnp.abs(bustr), cap_u)
+    cap_v = cff * 0.5 * (Hzb + jm1(Hzb)) * jnp.abs(Vr)
+    bvstr = jnp.sign(bvstr) * jnp.minimum(jnp.abs(bvstr), cap_v)
+    return bustr, bvstr
+
+
 def wave_number_kh(h, Fwave):
     """Explicit kh from the Dean & Dalrymple (1991) 6th-degree Pade
     approximation (ssw_bbl.h:264-269,SSW_CALC_UB)."""
@@ -91,8 +108,11 @@ def madsen94(ubr, wr, ucr, zr, phiwc, kN, n_iter: int = 20):
                         2.0 * _VONKAR * ustrr / jnp.maximum(wr, _EPS),
                         kN)                                # Eq 36
         dwc = jnp.clip(dwc, kN, 0.9 * zr)
-        lnzr = jnp.log(zr / dwc)
-        lndw = jnp.log(dwc / zo)
+        # floors: in near-dry WET_DRY columns zr ~ mm and the roughness
+        # clamp can give dwc == zo (lndw -> 0 -> inf); the reference only
+        # evaluates wet cells
+        lnzr = jnp.maximum(jnp.log(zr / dwc), 1.0e-3)
+        lndw = jnp.maximum(jnp.log(dwc / zo), 1.0e-3)
         lnln = lnzr / lndw
         bigsqr = -1.0 + jnp.sqrt(
             1.0 + (4.0 * _VONKAR * lndw / (lnzr * lnzr)) *
@@ -150,7 +170,9 @@ def bblm(cfg: Config, grid, p: BBLParams, u, v, z_r, z_w,
     Vr = v[0]
 
     Fwave = 2.0 * jnp.pi / jnp.maximum(Pwave, 0.05)
-    Kbh = wave_number_kh(grid.h, Fwave)
+    # clamp depth: WET_DRY grids carry h<=0 on the dry beach, where the
+    # Pade kh expansion is undefined (stresses there are masked anyway)
+    Kbh = wave_number_kh(jnp.maximum(grid.h, 0.01), Fwave)
     Ab = 0.5 * Hwave / jnp.maximum(jnp.sinh(Kbh), _EPS) + _EPS
     Ub = Fwave * Ab + _EPS
 
@@ -217,6 +239,7 @@ def bblm(cfg: Config, grid, p: BBLParams, u, v, z_r, z_w,
     bustr = at_u(tau_c) * anglec_u * grid.umask
     anglec_v = Vr / jnp.maximum(at_v(Umag), _EPS)
     bvstr = at_v(tau_c) * anglec_v * grid.vmask
+    bustr, bvstr = _limit_bstress(cfg, z_w, Ur, Vr, bustr, bvstr)
 
     return bustr, bvstr, tau_c, tau_w, tau_cwmax, rheight, rlength
 
@@ -277,7 +300,9 @@ def bblm_mb(cfg: Config, grid, p: MBBBLParams, u, v, z_r, z_w, rho,
 
     Fwave = 2.0 * pi / jnp.maximum(Pwave, 0.05)
     # Dean & Dalrymple explicit dispersion (MB_BBL_CALC_UB)
-    Kbh = wave_number_kh(grid.h, Fwave)
+    # clamp depth: WET_DRY grids carry h<=0 on the dry beach, where the
+    # Pade kh expansion is undefined (stresses there are masked anyway)
+    Kbh = wave_number_kh(jnp.maximum(grid.h, 0.01), Fwave)
     Ab = 0.5 * Hwave / jnp.maximum(jnp.sinh(Kbh), _EPS) + _EPS
     Ub = Fwave * Ab
 
@@ -417,6 +442,7 @@ def bblm_mb(cfg: Config, grid, p: MBBBLParams, u, v, z_r, z_w, rho,
     bustr = at_u(tauCW) * anglec_u * grid.umask
     anglec_v = Vr / jnp.maximum(at_v(Umag), _EPS)
     bvstr = at_v(tauCW) * anglec_v * grid.vmask
+    bustr, bvstr = _limit_bstress(cfg, z_w, Ur, Vr, bustr, bvstr)
     return bustr, bvstr, tauCW, tauW_o, tauCWmax, rheight, rlength
 
 
@@ -619,7 +645,9 @@ def bblm_sg(cfg: Config, grid, p: SGBBLParams, u, v, z_r, z_w, rho,
     ss = p.srho / rho_w
 
     Fwave = 2.0 * jnp.pi / jnp.maximum(Pwave, 0.05)
-    Kbh = wave_number_kh(grid.h, Fwave)
+    # clamp depth: WET_DRY grids carry h<=0 on the dry beach, where the
+    # Pade kh expansion is undefined (stresses there are masked anyway)
+    Kbh = wave_number_kh(jnp.maximum(grid.h, 0.01), Fwave)
     Ab = 0.5 * Hwave / jnp.maximum(jnp.sinh(Kbh), _EPS) + _EPS
     Ub = Fwave * Ab + _EPS
 
@@ -718,4 +746,5 @@ def bblm_sg(cfg: Config, grid, p: SGBBLParams, u, v, z_r, z_w, rho,
     bustr = at_u(TauC) * anglec_u * grid.umask
     anglec_v = Vr / jnp.maximum(at_v(Umag), _EPS)
     bvstr = at_v(TauC) * anglec_v * grid.vmask
+    bustr, bvstr = _limit_bstress(cfg, z_w, Ur, Vr, bustr, bvstr)
     return bustr, bvstr, TauC, TauW, TauCWmax, rheight, rlength

@@ -16,6 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .. import constants as C
 from ..config import Config, GLSParams, LBC
 from ..grid import Grid
 from . import bc
@@ -206,9 +207,15 @@ def gls_corstep(cfg: Config, grid: Grid, gp: GLSParams, iic,
                 tke, gls, tke3, gls3, tke_nnew, gls_nnew,
                 u, v, bvf, Hz, z_r, z_w, Huon, Hvom, W,
                 Akv, Akt, Akk, Akp, Lscale,
-                sustr, svstr, bustr, bvstr):
+                sustr, svstr, bustr, bvstr, Hwave=None):
     """Corrector: advect, produce/dissipate, implicit solve, stability
     functions, new mixing coefficients.
+
+    Wave-forced surface BCs (gls_corstep.F:278-302,810-918): with
+    gp.craig_banner the surface tke is flux-forced by wave breaking
+    (CRGBAN_CW) and the gls Schmidt number is replaced by the
+    Craig-Banner-consistent value; gp.charnok / gp.zos_hsig set the
+    surface roughness from the wind stress / wave height (Hwave).
 
     Returns (tke_new, gls_new, Akv, Akt, Akk, Akp, Lscale)."""
     dt = cfg.dt
@@ -234,6 +241,19 @@ def gls_corstep(cfg: Config, grid: Grid, gp: GLSParams, iic,
     tke_exp4 = gp.m + 0.5 * gp.n
     Zos_min = 0.0001
     Zob_min = max(cfg.zob, 0.0001)
+    cmu_fac4 = (1.5 * gp.sigk) ** (1.0 / 3.0) / cmu0 ** (4.0 / 3.0)
+    if gp.craig_banner:
+        # Craig-Banner-consistent gls Schmidt number (gls_corstep.F:
+        # 278-295); the wall function raises it for k-kl (MY2.5)
+        lmy25 = (gp.p == 0.0) and (gp.n == 1.0) and (gp.m == 1.0)
+        cb_wallE = 1.25 if lmy25 else 1.0
+        cff1_cb = (1.5 * gp.sigk) ** 0.5 * cmu0 / L_sft
+        sigp_cb = L_sft ** 2 / (cmu0 ** 2 * gp.c2 * cb_wallE) * (
+            gp.n ** 2 - cff1_cb * gp.n / 3.0 * (4.0 * gp.m + 1.0) +
+            cff1_cb ** 2 * gp.m / 9.0 * (2.0 + 4.0 * gp.m))
+    else:
+        sigp_cb = gp.sigp
+    ogls_sigp = 1.0 / sigp_cb
 
     # ---- shear^2 and buoyancy at W points, horizontally smoothed ----
     dz = z_r[1:] - z_r[:-1]
@@ -303,26 +323,55 @@ def gls_corstep(cfg: Config, grid: Grid, gp: GLSParams, iic,
                   dt * (1.0 - on2) * gls_c3 * b2 * dAkt / tke[1:N]) - \
         FCp_full - FCp_up
 
-    # Dirichlet surface/bottom values (Charnok-free default)
+    # Dirichlet surface/bottom values; Craig-Banner replaces the surface
+    # Dirichlet scale and adds a wave-breaking TKE flux
     ust2 = 0.5 * jnp.sqrt((sustr + ip1(sustr)) ** 2 +
                           (svstr + jp1(svstr)) ** 2)
     ubt2 = 0.5 * jnp.sqrt((bustr + ip1(bustr)) ** 2 +
                           (bvstr + jp1(bvstr)) ** 2)
-    tke_sfc = jnp.maximum(cmu_fac3 * ust2, gp.Kmin)
+    if gp.craig_banner:
+        tke_sfc = jnp.maximum(
+            cmu_fac4 * ust2 * gp.crgban_cw ** (2.0 / 3.0), gp.Kmin)
+    else:
+        tke_sfc = jnp.maximum(cmu_fac3 * ust2, gp.Kmin)
     tke_bot = jnp.maximum(cmu_fac3 * ubt2, gp.Kmin)
+    # effective surface roughness (gls_corstep.F:834-842)
+    if gp.charnok:
+        Zos_eff = jnp.maximum(gp.charnok_alpha / C.g * ust2, Zos_min)
+    elif gp.zos_hsig and Hwave is not None:
+        Zos_eff = jnp.maximum(gp.zos_hsig_alpha * Hwave, Zos_min)
+    else:
+        Zos_eff = jnp.full_like(ust2, Zos_min)
     gls_sfc = jnp.maximum(
-        cmu0 ** gp.p * tke_sfc ** gp.m * (L_sft * Zos_min) ** gp.n,
+        cmu0 ** gp.p * tke_sfc ** gp.m * (L_sft * Zos_eff) ** gp.n,
         gp.Pmin)
     gls_bot = jnp.maximum(
         gls_fac4 * (vonKar * Zob_min) ** gp.n * tke_bot ** gp.m, gp.Pmin)
 
-    tke_i = _gls_tridiag(BCk, FCk_full, tke_n, zero2d, zero2d)
+    if gp.craig_banner:
+        # surface TKE flux dt*crgban_cw*ustar^3 (added to the k=N-1 rhs;
+        # _gls_tridiag subtracts flux_t, hence the sign)
+        tke_flux_t = -dt * gp.crgban_cw * ust2 ** 1.5
+    else:
+        tke_flux_t = zero2d
+    tke_i = _gls_tridiag(BCk, FCk_full, tke_n, tke_flux_t, zero2d)
 
-    # gls surface/bottom diffusive fluxes (gls_corstep.F:640-655)
+    # gls surface/bottom diffusive fluxes (gls_corstep.F:640-655).
+    # Clamp at Kmin before the fractional power: in near-dry WET_DRY
+    # columns (Hz ~ Dcrit/N) the unclamped tridiag output can undershoot
+    # zero and k**1.5 would be NaN.
+    tke_i = jnp.maximum(tke_i, gp.Kmin)
     cff_t = 0.5 * (tke_sfc + tke_i[-1])
     gls_fluxt = dt * gls_fac3 * cff_t ** gp.m * L_sft ** gp.n * \
-        (Zos_min + 0.5 * Hz[-1]) ** (gp.n - 1.0) * \
+        (Zos_eff + 0.5 * Hz[-1]) ** (gp.n - 1.0) * \
         0.5 * (Akp[N] + Akp[N - 1])
+    if gp.craig_banner:
+        # wave-breaking contribution to the gls surface flux
+        # (gls_corstep.F:896-903)
+        gls_fluxt = gls_fluxt - dt * gp.m * cmu0 ** gp.p * \
+            cff_t ** (gp.m - 1.0) * \
+            ((Zos_eff + 0.5 * Hz[-1]) * L_sft) ** gp.n * \
+            gp.sigk * ogls_sigp * gp.crgban_cw * ust2 ** 1.5
     cff_b = 0.5 * (tke_bot + tke_i[0])
     gls_fluxb = dt * gls_fac2 * cff_b ** gp.m * \
         (0.5 * Hz[0] + Zob_min) ** (gp.n - 1.0) * 0.5 * (Akp[0] + Akp[1])
@@ -370,10 +419,10 @@ def gls_corstep(cfg: Config, grid: Grid, gp: GLSParams, iic,
     Akv_i = cfg.akv_bak + Sm * ql
     Akt_i = cfg.akt_bak[0] + Sh * ql
     Akk_i = gp.akk_bak + Sm * ql / gp.sigk
-    Akp_i = gp.akp_bak + Sm * ql / gp.sigp
+    Akp_i = gp.akp_bak + Sm * ql * ogls_sigp
 
-    # surface/bottom coefficients
-    Akv_sfc = cfg.akv_bak + L_sft * Zos_min * cmu0 * jnp.sqrt(tke_sfc)
+    # surface/bottom coefficients (gls_corstep.F:1065-1073)
+    Akv_sfc = cfg.akv_bak + L_sft * Zos_eff * cmu0 * jnp.sqrt(tke_sfc)
     Akv_bot = cfg.akv_bak + vonKar * Zob_min * cmu0 * jnp.sqrt(tke_bot)
 
     cat = lambda bot, mid, top: jnp.concatenate(
@@ -389,8 +438,10 @@ def gls_corstep(cfg: Config, grid: Grid, gp: GLSParams, iic,
          for i in range(nat)], axis=0)
     Akk_new = fh(cat(gp.akk_bak + Akv_bot / gp.sigk, Akk_i,
                      gp.akk_bak + Akv_sfc / gp.sigk))
+    # bottom Akp uses sigp, surface the CB-consistent ogls_sigp
+    # (gls_corstep.F:1072-1073)
     Akp_new = fh(cat(gp.akp_bak + Akv_bot / gp.sigp, Akp_i,
-                     gp.akp_bak + Akv_sfc / gp.sigp))
+                     gp.akp_bak + Akv_sfc * ogls_sigp))
     Lscale_new = fh(cat(jnp.zeros_like(Akv_bot), Ls_lmt,
                         jnp.zeros_like(Akv_sfc)))
     tke_new = fh(cat(tke_bot, tke_i, tke_sfc))

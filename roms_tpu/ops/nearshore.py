@@ -72,7 +72,10 @@ def radiation_stress(cfg: Config, grid: Grid, zeta, Hz, Cs_r, Cs_w,
     wavenx = waven * jnp.cos(cdir)
     waveny = waven * jnp.sin(cdir)
     waveE = 0.0625 * g * Hwave * Hwave
-    kD = jnp.minimum(waven * Dstp + _EPS, _KDMAX)
+    # depth floor: WET_DRY can leave Dstp ~ 0 (or slightly negative in
+    # halo rows); kD < 0 would NaN the sqrt/tanh chain below and the
+    # stresses on dry cells are masked anyway
+    kD = jnp.minimum(waven * jnp.maximum(Dstp, 0.01) + _EPS, _KDMAX)
     wavec = jnp.sqrt(g * owaven * jnp.tanh(kD))
     ocosh = 1.0 / jnp.cosh(kD)
     osinh = 1.0 / jnp.sinh(kD)

@@ -97,6 +97,11 @@ def pre_step3d(cfg: Config, grid: Grid, iic, t, t_prev, u, v,
     a2 = jnp.where(iic == 0, 0.0,
                    jnp.where(iic == 1, -0.5, -16.0 / 12.0)).astype(dtype)
 
+    # with BODYFORCE the stresses enter through ru/rv in rhs3d, not as
+    # predictor boundary fluxes (pre_step3d.F:931-1106 #ifndef blocks)
+    if cfg.bodyforce:
+        sustr = bustr = jnp.zeros_like(sustr)
+        svstr = bvstr = jnp.zeros_like(svstr)
     DC0u = dt * 0.25 * (pm + im1(pm)) * (pn + im1(pn))
     FCu = jnp.concatenate(
         [dt * bustr[None], jnp.zeros_like(u[1:]), dt * sustr[None]], axis=0)

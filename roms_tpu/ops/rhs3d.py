@@ -155,9 +155,36 @@ def rhs3d_momentum(cfg: Config, grid: Grid, u, v, Huon, Hvom, W, Hz,
         ru = ru + nudg * area_u * 0.5 * (Hz + im1(Hz)) * (clm["uclm"] - u)
         rv = rv + nudg * area_v * 0.5 * (Hz + jm1(Hz)) * (clm["vclm"] - v)
 
+    # ---- BODYFORCE: stresses as body forces over the surface/bottom
+    # level ranges instead of boundary fluxes (rhs3d.F:326-470) ----
+    if cfg.bodyforce:
+        pm, pn = grid.pm, grid.pn
+        N = cfg.N
+        ks = cfg.levsfrc - 1                 # surface levels ks..N-1
+        kb = cfg.levbfrc                     # bottom levels 0..kb-1
+        ocffu = 0.25 * (pm + im1(pm)) * (pn + im1(pn))
+        ocffv = 0.25 * (pm + jm1(pm)) * (pn + jm1(pn))
+        kmask_s = (jnp.arange(N) >= ks)[:, None, None]
+        kmask_b = (jnp.arange(N) < kb)[:, None, None]
+        wrk_s = jnp.sum(jnp.where(kmask_s, Hz, 0.0), axis=0)
+        wrk_b = jnp.sum(jnp.where(kmask_b, Hz, 0.0), axis=0)
+        Hz_u = Hz + im1(Hz)
+        Hz_v = Hz + jm1(Hz)
+        Uwrk_s = sustr / (ocffu * (wrk_s + im1(wrk_s)))
+        Vwrk_s = svstr / (ocffv * (wrk_s + jm1(wrk_s)))
+        Uwrk_b = bustr / (ocffu * (wrk_b + im1(wrk_b)))
+        Vwrk_b = bvstr / (ocffv * (wrk_b + jm1(wrk_b)))
+        ru = ru + jnp.where(kmask_s, Uwrk_s[None] * Hz_u, 0.0) - \
+            jnp.where(kmask_b, Uwrk_b[None] * Hz_u, 0.0)
+        rv = rv + jnp.where(kmask_s, Vwrk_s[None] * Hz_v, 0.0) - \
+            jnp.where(kmask_b, Vwrk_b[None] * Hz_v, 0.0)
+
     # ---- vertical integral -> barotropic forcing (rhs3d.F:523-559) ----
-    rufrc = jnp.sum(ru, axis=0) + (sustr - bustr) * grid.om_u * grid.on_u
-    rvfrc = jnp.sum(rv, axis=0) + (svstr - bvstr) * grid.om_v * grid.on_v
+    rufrc = jnp.sum(ru, axis=0)
+    rvfrc = jnp.sum(rv, axis=0)
+    if not cfg.bodyforce:
+        rufrc = rufrc + (sustr - bustr) * grid.om_u * grid.on_u
+        rvfrc = rvfrc + (svstr - bvstr) * grid.om_v * grid.on_v
     if want_diags:
         return ru, rv, rufrc, rvfrc, dia
     return ru, rv, rufrc, rvfrc

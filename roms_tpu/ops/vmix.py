@@ -196,6 +196,47 @@ def lmd_vmix(cfg: Config, grid: Grid, u, v, t, rho, pden, bvf,
     Akt_t = Akt_t.at[0].set(cfg.akt_bak[0]).at[-1].set(cfg.akt_bak[0])
     Akt_s = Akt_t
 
+    # ---- LMD_DDMIX: double-diffusive interior mixing ----
+    # Salt fingering / diffusive convection from the density ratio
+    # Rrho = alpha*dT / (beta*dS) at interior W levels
+    # (lmd_vmix.F:360-428; Large et al. 1994 §4c).
+    if cfg.lmd_ddmix and cfg.ntracers >= 2:
+        lmd_Rrho0, lmd_nuf, lmd_fdd = 1.9, 0.001, 0.7
+        lmd_nu = 1.5e-6
+        lmd_tdd1, lmd_tdd2, lmd_tdd3 = 0.909, 4.6, 0.54
+        lmd_sdd1, lmd_sdd2, lmd_sdd3 = 0.15, 1.85, 0.85
+        ddDT = t[0, 1:] - t[0, :-1]
+        dS_raw = t[1, 1:] - t[1, :-1]
+        ddDS = jnp.sign(dS_raw) * jnp.maximum(jnp.abs(dS_raw), 1.0e-14)
+        ddDS = jnp.where(dS_raw == 0.0, 1.0e-14, ddDS)
+        # alpha/beta at the interface from the cell-mean T,S (the
+        # reference's rho_eos alfaobeta at W points)
+        Tw = 0.5 * (t[0, 1:] + t[0, :-1])
+        Sw = 0.5 * (t[1, 1:] + t[1, :-1])
+        a_w, b_w = _alpha_beta(cfg, Tw, Sw)
+        Rrho = a_w / b_w * ddDT / ddDS
+        # salt fingering (Rrho in (1, Rrho0], dS/dz > 0)
+        Rr_f = jnp.clip(Rrho, 1.0, lmd_Rrho0)
+        nu_f = 1.0 - ((Rr_f - 1.0) / (lmd_Rrho0 - 1.0)) ** 2
+        nu_dds_f = lmd_nuf * nu_f * nu_f * nu_f
+        nu_ddt_f = lmd_fdd * nu_dds_f
+        # diffusive convection (0 < Rrho < 1, dS/dz < 0;
+        # Marmorino & Caldwell 1976)
+        Rr_c = jnp.clip(Rrho, 1.0e-10, 1.0)
+        nu_ddt_c = lmd_nu * lmd_tdd1 * jnp.exp(
+            lmd_tdd2 * jnp.exp(-lmd_tdd3 * (1.0 / Rr_c - 1.0)))
+        nu_dds_c = jnp.where(Rr_c < 0.5, nu_ddt_c * lmd_sdd1 * Rr_c,
+                             nu_ddt_c * (lmd_sdd2 * Rr_c - lmd_sdd3))
+        finger = (Rrho > 1.0) & (ddDS > 0.0)
+        dconv = (Rrho > 0.0) & (Rrho < 1.0) & (ddDS < 0.0)
+        nu_ddt = jnp.where(finger, nu_ddt_f,
+                           jnp.where(dconv, nu_ddt_c, 0.0))
+        nu_dds = jnp.where(finger, nu_dds_f,
+                           jnp.where(dconv, nu_dds_c, 0.0))
+        # nu arrays live at the N-1 interior W interfaces (k=1..N-1)
+        Akt_t = Akt_t.at[1:-1].add(nu_ddt)
+        Akt_s = Akt_s.at[1:-1].add(nu_dds)
+
     # ============ surface boundary layer (lmd_skpp) ============
     Ustar = jnp.sqrt(jnp.sqrt(
         (0.5 * (sustr + ip1(sustr))) ** 2 +

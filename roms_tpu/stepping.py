@@ -185,8 +185,13 @@ def step(cfg: Config, grid: Grid, state: State,
             t_nnew = t3dmix2_iso(cfg, grid, state.t, pden, Hz, z_r,
                                  t_nnew, cfg.dt)
         elif cfg.ts_mix_geo:
-            t_nnew = t3dmix2_geo(cfg, grid, state.t, Hz, z_r, t_nnew,
-                                 cfg.dt)
+            from .ops import mix3d_pallas
+            if mix3d_pallas.use_pallas(cfg):
+                t_nnew = mix3d_pallas.t3dmix2_geo_fused(
+                    cfg, grid, state.t, Hz, z_r, t_nnew, cfg.dt)
+            else:
+                t_nnew = t3dmix2_geo(cfg, grid, state.t, Hz, z_r,
+                                     t_nnew, cfg.dt)
         else:
             t_nnew = t3dmix2(cfg, grid, state.t, Hz, t_nnew, cfg.dt)
     if cfg.ts_dif4 and any(x != 0.0 for x in cfg.tnu4):
@@ -231,9 +236,15 @@ def step(cfg: Config, grid: Grid, state: State,
                 cfg, grid, state.u, state.v, Hz, z_r, u_nnew, v_nnew,
                 rufrc, rvfrc, cfg.dt)
         else:
-            u_nnew, v_nnew, rufrc, rvfrc = uv3dmix2(
-                cfg, grid, state.u, state.v, Hz, u_nnew, v_nnew,
-                rufrc, rvfrc, cfg.dt)
+            from .ops import mix3d_pallas
+            if mix3d_pallas.use_pallas(cfg):
+                u_nnew, v_nnew, rufrc, rvfrc = mix3d_pallas.uv3dmix2_fused(
+                    cfg, grid, state.u, state.v, Hz, u_nnew, v_nnew,
+                    rufrc, rvfrc, cfg.dt)
+            else:
+                u_nnew, v_nnew, rufrc, rvfrc = uv3dmix2(
+                    cfg, grid, state.u, state.v, Hz, u_nnew, v_nnew,
+                    rufrc, rvfrc, cfg.dt)
     if cfg.uv_vis4 and cfg.visc4 != 0.0:
         if cfg.uv_mix_geo:
             u_nnew, v_nnew, rufrc, rvfrc = uv3dmix4_geo(
@@ -353,7 +364,7 @@ def step(cfg: Config, grid: Grid, state: State,
             state.tke, state.gls, tke3, gls3, tke_nnew, gls_nnew,
             state.u, state.v, bvf_g, Hz2, z_r2, z_w2, Huon2, Hvom2, W2,
             state.Akv, state.Akt, state.Akk, state.Akp, state.Lscale,
-            sustr, svstr, bustr, bvstr)
+            sustr, svstr, bustr, bvstr, Hwave=frc.get("Hwave"))
 
     # --- tracer corrector (main3d.F:814) ---
     res = step3d_t(cfg, grid, state.iic, t_nnew, t3, Huon2, Hvom2, W2,

@@ -35,6 +35,20 @@ CASES = {
     "canyon3d": ("roms_tpu.models.cases", "canyon3d", None),
     "kelvin": ("roms_tpu.models.cases", "kelvin", None),
     "bio_toy": ("roms_tpu.models.bio_toy", "build", "make_config"),
+    "sed_toy": ("roms_tpu.models.sed_toy", "build", "make_config"),
+    "overflow": ("roms_tpu.models.cases", "overflow", None),
+    "windbasin": ("roms_tpu.models.cases", "windbasin", None),
+    "lake_signell": ("roms_tpu.models.cases", "lake_signell", None),
+    "estuary": ("roms_tpu.models.cases", "estuary", None),
+    "riverplume": ("roms_tpu.models.cases", "riverplume", None),
+    "channel": ("roms_tpu.models.cases2", "channel", None),
+    "flt_test": ("roms_tpu.models.cases2", "flt_test", None),
+    "lmd_test": ("roms_tpu.models.cases2", "lmd_test", None),
+    "mixed_layer": ("roms_tpu.models.cases2", "mixed_layer", None),
+    "test_chan": ("roms_tpu.models.cases2", "test_chan", None),
+    "sed_test1": ("roms_tpu.models.cases2", "sed_test1", None),
+    "shoreface": ("roms_tpu.models.cases2", "shoreface", None),
+    "riverplume2": ("roms_tpu.models.cases2", "riverplume2", None),
 }
 
 
