@@ -52,6 +52,9 @@ class Grid:
     # ini_hmixcoef.F's visc2_r/diff2_r scaling) - 1.0 in the interior
     visc_factor: jax.Array
     diff_factor: jax.Array
+    # ICESHELF: ice-shelf draft (m, negative under the shelf; zero in
+    # open water) at rho points (mod_grid zice; ana_grid.h:1155-1176)
+    zice: Optional[jax.Array] = None
 
     # -- derived staggered metrics (computed lazily; fused by XLA) --------
     @property

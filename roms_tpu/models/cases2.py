@@ -531,3 +531,137 @@ def riverplume2(Lm=50, Mm=70, N=13, dt=120.0, ndtfast=20,
         return {"sources": src}
 
     return cfg, grid, state0, forcing_fn
+
+
+def weddell(Lm=300, Mm=10, N=30, dt=50.0, ndtfast=20, dtype="float64"):
+    """WEDDELL: idealized Weddell Sea ice-shelf cavity section
+    (weddell.h; roms_weddell.in: 300x10x30, DT=50 s).  4 km cells; the
+    bathymetry follows the reference's piecewise shelf-to-deep profile
+    (ana_grid.h:1073-1100), the ice-shelf draft ramps from -340 m under
+    the cavity (i<=4) to zero at i=20 (ana_grid.h:1157-1170); latitude-
+    dependent f (from -79 deg) and angler=90 deg (CURVGRID); M2 tidal
+    ellipse at the west/east Chapman/Flather boundaries
+    (ana_fsobc.h:155-180, ana_m2obc.h:300-345, evaluated with the
+    reference's linear along-channel interpolation collapsed to the
+    boundary values - documented delta); JM95 EOS, quadratic drag (also
+    applied as the ice-base drag), constant T0/S0 water mass."""
+    per = "Per"
+    cfg = Config(
+        name="weddell", Lm=Lm, Mm=Mm, N=N, ntracers=2,
+        ew_periodic=False, ns_periodic=True,
+        dt=dt, ndtfast=ndtfast,
+        uv_vis2=True, visc2=50.0,
+        ts_dif2=True, tnu2=(10.0, 10.0),
+        t_hadv=("U3", "U3"), t_vadv=("C4", "C4"),
+        splines_vdiff=True, splines_vvisc=True,
+        akv_bak=1.0e-5, akt_bak=(1.0e-6, 1.0e-6),
+        bottom_drag="quadratic", rdrg2=3.0e-3,
+        eos="jm95", T0=-0.2775, S0=34.6489,
+        theta_s=3.0, theta_b=0.0, tcline=50.0, vtransform=1,
+        vstretching=1,
+        lbc_zeta=LBC(BC_CHAPMAN_EXPLICIT, per, BC_CHAPMAN_EXPLICIT,
+                     per),
+        lbc_ubar=LBC(BC_FLATHER, per, BC_FLATHER, per),
+        lbc_vbar=LBC(BC_FLATHER, per, BC_FLATHER, per),
+        lbc_u=LBC(BC_RADIATION, per, BC_RADIATION, per),
+        lbc_v=LBC(BC_RADIATION, per, BC_RADIATION, per),
+        lbc_t=LBC(BC_RADIATION, per, BC_RADIATION, per),
+        dtype=dtype)
+    Xsize, Esize = 4000.0 * Lm, 4000.0 * Mm
+
+    # piecewise bathymetry profile (ana_grid.h:1073-1100)
+    val1, val2 = 98.80, 0.8270
+    ks = np.arange(-1, 236)
+    xwrk = np.empty(ks.shape)
+    hwrk = np.empty(ks.shape)
+    for idx, k in enumerate(ks):
+        if k <= 26:
+            xwrk[idx] = (k - 1) * 15.0e3
+            hwrk[idx] = 375.0
+        elif k <= 232:
+            zwrk = -2.0 + (k - 1) * 0.020
+            xwrk[idx] = (520.0 + val1 + zwrk * val1 +
+                         val1 * val2 * np.log(np.cosh(zwrk))) * 1.0e3
+            hwrk[idx] = -75.0 + 2198.0 * (1.0 + val2 * np.tanh(zwrk))
+        else:
+            xwrk[idx] = (850.0 + (k - 228) * 50.0) * 1.0e3
+            hwrk[idx] = 4000.0
+
+    # ice draft ramp (ana_grid.h:1157-1170), needed inside depth_fn:
+    # roms_tpu stores h as the resting WATER-COLUMN thickness (bottom
+    # depth minus |zice|; see vgrid.set_depth)
+    def zice_of(i):
+        return np.minimum(
+            np.where(i > 20, 0.0,
+                     np.where(i > 4, -340.0 + (i - 1) * (340.0 / 16.0),
+                              -340.0)), 0.0)
+
+    def depth_fn(x, y, i, j, c):
+        hbot = np.interp(x, xwrk, hwrk, left=375.0, right=4000.0)
+        return hbot - np.abs(zice_of(i))
+
+    grid, cfg = build_grid(cfg, Xsize, Esize, f0=0.0, beta=0.0,
+                           depth_fn=depth_fn)
+    # latitude-varying Coriolis keyed on i (ana_grid.h:874-880) and the
+    # 90-degree grid rotation
+    H = cfg.halo
+    i_idx = np.arange(cfg.nx_tot)[None, :] - H + 1
+    dlat = 10.4 / Lm
+    f = 2.0 * 7.2e-5 * np.sin((-79.0 + (i_idx - 1) * dlat) *
+                              np.pi / 180.0)
+    f = np.broadcast_to(f, grid.h.shape)
+    zice = np.broadcast_to(zice_of(i_idx), grid.h.shape)
+    dtt = jnp.dtype(dtype)
+    grid = grid.replace(
+        f=jnp.asarray(f, dtt),
+        angler=jnp.full_like(grid.h, 0.5 * np.pi),
+        zice=jnp.asarray(zice, dtt))
+
+    z_r, _, _ = vgrid.set_depth(grid.h, jnp.zeros_like(grid.h),
+                                hc_of(cfg), grid.sc_r, grid.Cs_r,
+                                grid.sc_w, grid.Cs_w, cfg.vtransform,
+                                zice=grid.zice)
+    fh = lambda a: bc.fill_halo(cfg, a)
+    # reduced-pressure floating-ice form (see stepping ice_load): the
+    # rest state is zeta = 0 everywhere; the reference instead rings
+    # through a full |zice| free-surface adjustment from its zeta=0
+    # start (documented delta: same equilibrium, no transient)
+    state0 = initial_state(cfg, t=jnp.stack(
+        [fh(jnp.full_like(z_r, cfg.T0)), fh(jnp.full_like(z_r, cfg.S0))]))
+    ny = cfg.ny_tot
+    deg2rad = np.pi / 180.0
+    omega_m2 = 2.0 * np.pi / (12.42 * 3600.0)
+
+    def forcing_fn(cfg_, grid_, time):
+        fac = jnp.tanh(time / 86400.0)
+        om_t = omega_m2 * time
+        ones = jnp.ones((ny,), dtt)
+        # west boundary ellipse (boundary-value limit of the reference's
+        # along-channel interpolation)
+        val_w = 0.53
+        ph_w = 277.0 * deg2rad
+        zw = fac * val_w * jnp.cos(om_t - ph_w)
+        major, minor = 0.1144, 0.0143
+        ph_u = 318.0 * deg2rad
+        ang = 125.0 * deg2rad - 0.5 * np.pi     # minus angler
+        ubw = fac * (major * jnp.cos(ang) * jnp.cos(om_t - ph_u) -
+                     minor * jnp.sin(ang) * jnp.sin(om_t - ph_u))
+        vbw = fac * (major * jnp.sin(ang) * jnp.cos(om_t - ph_u))
+        # east boundary (the reference doubles the linear increments)
+        val_e = 0.53 + (0.53 - 0.48)
+        ph_we = (277.0 + 37.0) * deg2rad
+        ze = fac * val_e * jnp.cos(om_t - ph_we)
+        maj_e = 0.1144 + (0.1144 - 0.013)
+        min_e = 0.0143 + (0.0143 + 0.010)
+        ph_ue = (318.0 - 37.0) * deg2rad
+        ang_e = (125.0 + 100.0) * deg2rad - 0.5 * np.pi
+        ube = fac * (maj_e * jnp.cos(ang_e) * jnp.cos(om_t - ph_ue) -
+                     min_e * jnp.sin(ang_e) * jnp.sin(om_t - ph_ue))
+        vbe = fac * (maj_e * jnp.sin(ang_e) * jnp.cos(om_t - ph_ue))
+        return {"bry": {
+            "zeta_west": zw * ones, "ubar_west": ubw * ones,
+            "vbar_west": vbw * ones,
+            "zeta_east": ze * ones, "ubar_east": ube * ones,
+            "vbar_east": vbe * ones}}
+
+    return cfg, grid, state0, forcing_fn

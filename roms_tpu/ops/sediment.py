@@ -58,8 +58,13 @@ class SedParams:
     poros: float = 0.5
     Nbed: int = 1
     bedload: bool = False
+    bedload_method: str = "mpm"       # BEDLOAD_MPM | BEDLOAD_SOULSBY
     bedload_coeff: float = 0.1
     newlayer_thick: float = 0.01      # m; threshold for stratum creation
+    # SED_MORPH: feed bed-thickness changes back into the bathymetry
+    # (set_depth.F:166,214) with the morphological acceleration factor
+    # applied to the bed fluxes (sed_bed.F:263-270)
+    sed_morph: bool = False
     morph_fac: float = 1.0
 
     @property
@@ -101,7 +106,8 @@ def _bed_thickness(p: SedParams, bed_mass):
 
 
 def apply_sediment(cfg: Config, grid, p: SedParams, t_new, bed_mass,
-                   Hz, z_w, bustr, bvstr, tau_cw=None):
+                   Hz, z_w, bustr, bvstr, tau_cw=None,
+                   tau_c=None, tau_wav=None, phicw=None):
     """One dt of sediment dynamics.  t_new: (NT,N,Ny,Nx) tracer stack
     after advection/diffusion (concentrations, kg/m3); bed_mass:
     (Nbed,NST,Ny,Nx) kg/m2.  tau_cw: optional max combined wave-current
@@ -149,12 +155,17 @@ def apply_sediment(cfg: Config, grid, p: SedParams, t_new, bed_mass,
         ero.append(ero_c)
     dep = jnp.stack(dep)
     ero = jnp.stack(ero)
-    bed_mass = bed_mass.at[0].add(dep - ero)
+    # SED_MORPH: the bed sees the exchange amplified by the
+    # morphological acceleration factor (sed_bed.F:263-270); the water
+    # column keeps the physical fluxes
+    mfac = p.morph_fac if p.sed_morph else 1.0
+    bed_mass = bed_mass.at[0].add(mfac * (dep - ero))
 
-    # --- bedload (sed_bedload.F, BEDLOAD_MPM) ---
+    # --- bedload (sed_bedload.F, BEDLOAD_MPM / BEDLOAD_SOULSBY) ---
     if p.bedload:
         bed_mass = _bedload_mpm(cfg, grid, p, bed_mass, tau_w,
-                                bustr, bvstr)
+                                bustr, bvstr, tau_c=tau_c,
+                                tau_wav=tau_wav, phicw=phicw)
 
     # --- bed layer bookkeeping (sed_bed.F) ---
     bed_mass = _bed_layers(cfg, p, bed_mass, iactv)
@@ -166,9 +177,58 @@ def apply_sediment(cfg: Config, grid, p: SedParams, t_new, bed_mass,
     return t_new, bed_mass
 
 
+def bed_thickness_total(p: SedParams, bed_mass):
+    """Total bed thickness (m) summed over strata and classes
+    (sed_bed.F:484-493 bed_thick)."""
+    srho = jnp.asarray(p.Srho, bed_mass.dtype)[None, :, None, None]
+    return jnp.sum(bed_mass / (srho * (1.0 - p.poros)), axis=(0, 1))
+
+
+def _soulsby_transport(cfg: Config, p: SedParams, c, tau_mean, tau_wav,
+                       phicw):
+    """Soulsby & Damgaard (2005) wave-averaged bedload rates along and
+    across the mean-current direction (sed_bedload.F:415-478,
+    BEDLOAD_SOULSBY with the reference's w_asym=0 override).  Returns
+    (bedld_x, bedld_y) in kg/m/s in the current-aligned frame."""
+    g = C.g
+    smgd = (p.Srho[c] / cfg.rho0 - 1.0) * g * p.Sd50[c]
+    osmgd = 1.0 / smgd
+    smgdr = jnp.sqrt(smgd) * p.Sd50[c] * p.Srho[c]
+    theta_wav = tau_wav * osmgd + _EPS
+    theta_mean = tau_mean * osmgd
+    # max Shields stress over the wave cycle (w_asym = 0)
+    theta_max = jnp.sqrt(
+        (theta_mean + theta_wav * jnp.cos(phicw)) ** 2 +
+        (theta_wav * jnp.sin(phicw)) ** 2)
+    # motion initiation (the reference compares the nondimensional
+    # theta_max against the kinematic tau_ce - reproduced as-is)
+    cff3 = jnp.where(theta_max / p.tau_ce[c] > 1.0, 1.0, 0.0)
+    phi_x1 = 12.0 * jnp.sqrt(theta_mean) * \
+        jnp.maximum(theta_mean - p.tau_ce[c], 0.0)
+    phi_x2 = 12.0 * (0.9534 + 0.1907 * jnp.cos(2.0 * phicw)) * \
+        jnp.sqrt(theta_wav) * theta_mean
+    phi_x = jnp.where(jnp.abs(phi_x2) > phi_x1, phi_x2, phi_x1)
+    bedld_x = phi_x * smgdr * cff3
+    cff5 = theta_wav ** 1.5 + 1.5 * theta_mean ** 1.5
+    phi_y = 12.0 * 0.1907 * theta_wav * theta_wav * \
+        (theta_mean * jnp.sin(2.0 * phicw)) / \
+        jnp.maximum(cff5, _EPS) * cff3
+    bedld_y = phi_y * smgdr
+    return bedld_x, bedld_y
+
+
 def _bedload_mpm(cfg: Config, grid, p: SedParams, bed_mass, tau_w,
-                 bustr, bvstr):
-    """Meyer-Peter & Mueller bedload with upwind face shift."""
+                 bustr, bvstr, tau_c=None, tau_wav=None, phicw=None):
+    """Meyer-Peter & Mueller (default) or Soulsby-Damgaard
+    (p.bedload_method='soulsby', requires the BBL wave/current stress
+    split) bedload with upwind face shift."""
+    soulsby = (p.bedload_method == "soulsby" and tau_c is not None
+               and tau_wav is not None and phicw is not None)
+    if soulsby:
+        # mean stress enhanced by the waves (sed_bedload.F:400-403)
+        tau_mean = tau_c * (1.0 + 1.2 * (tau_wav /
+                                         (tau_c + tau_wav + _EPS))
+                            ** 3.2)
     dt = cfg.dt
     g = C.g
     # stress direction at rho points (sed_bedload.F angleu/anglev)
@@ -185,14 +245,23 @@ def _bedload_mpm(cfg: Config, grid, p: SedParams, bed_mass, tau_w,
                                      _EPS)
     top_new = bed_mass[0]
     for c in range(p.NST):
-        smgd = (p.Srho[c] / cfg.rho0 - 1.0) * g * p.Sd50[c]
-        osmgd = 1.0 / smgd
-        smgdr = jnp.sqrt(smgd) * p.Sd50[c] * p.Srho[c]
-        # kg/m/s (sed_bedload.F:505-513)
-        bedld = 8.0 * jnp.maximum(tau_w * osmgd - 0.047, 0.0) ** 1.5 * \
-            smgdr
-        FX_r = angleu * bedld * on_r * dt * p.bedload_coeff * frac[c]
-        FE_r = anglev * bedld * om_r * dt * p.bedload_coeff * frac[c]
+        if soulsby:
+            bx, by = _soulsby_transport(cfg, p, c, tau_mean, tau_wav,
+                                        phicw)
+            # rotate from the current-aligned frame to grid axes
+            bed_x = bx * angleu - by * anglev
+            bed_y = bx * anglev + by * angleu
+            FX_r = bed_x * on_r * dt * p.bedload_coeff * frac[c]
+            FE_r = bed_y * om_r * dt * p.bedload_coeff * frac[c]
+        else:
+            smgd = (p.Srho[c] / cfg.rho0 - 1.0) * g * p.Sd50[c]
+            osmgd = 1.0 / smgd
+            smgdr = jnp.sqrt(smgd) * p.Sd50[c] * p.Srho[c]
+            # kg/m/s (sed_bedload.F:505-513)
+            bedld = 8.0 * jnp.maximum(tau_w * osmgd - 0.047, 0.0) ** 1.5 \
+                * smgdr
+            FX_r = angleu * bedld * on_r * dt * p.bedload_coeff * frac[c]
+            FE_r = anglev * bedld * om_r * dt * p.bedload_coeff * frac[c]
         # limit to available top-layer mass (sed_bedload.F:576-588)
         denom = jnp.abs(FX_r) + jnp.abs(FE_r) + _EPS
         cap = bed_mass[0, c] * area

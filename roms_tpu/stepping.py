@@ -85,10 +85,51 @@ def step(cfg: Config, grid: Grid, state: State,
         stflux = frc.get("stflux", jnp.zeros((nt,) + zero2.shape, dtype))
         btflux = frc.get("btflux", jnp.zeros((nt,) + zero2.shape, dtype))
 
+    # --- ICESHELF (set_vbc.F:380-510): under the ice shelf the surface
+    #     heat/salt/shortwave fluxes vanish and the wind stress is
+    #     replaced by the ice-base drag on the TOP model layer (same
+    #     drag law as the sea bed) ---
+    if grid.zice is not None:
+        from .ops.stencil import im1 as _im1, jm1 as _jm1, \
+            ip1 as _ip1, jp1 as _jp1
+        icy = jnp.abs(grid.zice) > 0.0
+        icy_u = icy & _im1(icy)
+        icy_v = icy & _jm1(icy)
+        uN = state.u[-1]
+        vN = state.v[-1]
+        v_at_u = 0.25 * (vN + _jp1(vN) + _im1(vN) + _im1(_jp1(vN)))
+        u_at_v = 0.25 * (uN + _ip1(uN) + _jm1(uN) + _jm1(_ip1(uN)))
+        if cfg.bottom_drag == "linear":
+            tau_iu = -cfg.rdrg * uN
+            tau_iv = -cfg.rdrg * vN
+        else:
+            tau_iu = -cfg.rdrg2 * uN * jnp.sqrt(uN ** 2 + v_at_u ** 2)
+            tau_iv = -cfg.rdrg2 * vN * jnp.sqrt(vN ** 2 + u_at_v ** 2)
+        sustr = jnp.where(icy_u, tau_iu, sustr)
+        svstr = jnp.where(icy_v, tau_iv, svstr)
+        stflux = jnp.where(icy[None], 0.0, stflux)
+        if "srflx" in frc and frc["srflx"] is not None:
+            frc = dict(frc)
+            frc["srflx"] = jnp.where(icy, 0.0, frc["srflx"])
+
+    # --- SED_MORPH: bed-thickness change feeds back into h (set_depth.F
+    #     :166,214; deposition shoals the column).  grid.h is the virgin
+    #     bathymetry; the offset is the departure of the evolving bed
+    #     from the cfg-defined initial bed. ---
+    if (cfg.sediment and cfg.sed_params is not None
+            and cfg.sed_params.sed_morph):
+        from .ops.sediment import bed_thickness_total
+        from .state import _initial_bed_mass
+        p_sed = cfg.sed_params
+        thick0 = bed_thickness_total(
+            p_sed, _initial_bed_mass(cfg, grid.h.shape, grid.h.dtype))
+        dh_bed = bed_thickness_total(p_sed, state.bed_mass) - thick0
+        grid = grid.replace(h=grid.h - dh_bed)
+
     # --- vertical grid and mass fluxes at time n (main3d.F:307) ---
     z_r, z_w, Hz = vgrid.set_depth(grid.h, state.zeta, hc, grid.sc_r,
                                    grid.Cs_r, grid.sc_w, grid.Cs_w,
-                                   cfg.vtransform)
+                                   cfg.vtransform, zice=grid.zice)
     Huon, Hvom = set_massflux(cfg, grid, state.u, state.v, Hz)
 
     # --- density (main3d.F:314) ---
@@ -109,7 +150,7 @@ def step(cfg: Config, grid: Grid, state: State,
         from .ops.bbl import bblm, BBLParams
         bp = cfg.bbl_params or BBLParams()
         zero2f = jnp.zeros_like(grid.h)
-        bustr, bvstr, _, _, tau_cwmax, rheight, rlength = bblm(
+        bustr, bvstr, tau_c_b, tau_w_b, tau_cwmax, rheight, rlength = bblm(
             cfg, grid, bp, state.u, state.v, z_r, z_w,
             frc.get("Hwave", zero2f),
             frc.get("Pwave", zero2f + 8.0),
@@ -119,7 +160,7 @@ def step(cfg: Config, grid: Grid, state: State,
         from .ops.bbl import bblm_sg, SGBBLParams
         bp = cfg.bbl_params or SGBBLParams()
         zero2f = jnp.zeros_like(grid.h)
-        bustr, bvstr, _, _, tau_cwmax, rheight, rlength = bblm_sg(
+        bustr, bvstr, tau_c_b, tau_w_b, tau_cwmax, rheight, rlength = bblm_sg(
             cfg, grid, bp, state.u, state.v, z_r, z_w, rho[0],
             frc.get("Hwave", zero2f),
             frc.get("Pwave", zero2f + 8.0),
@@ -128,7 +169,7 @@ def step(cfg: Config, grid: Grid, state: State,
         from .ops.bbl import bblm_mb, MBBBLParams
         bp = cfg.bbl_params or MBBBLParams()
         zero2f = jnp.zeros_like(grid.h)
-        bustr, bvstr, _, _, tau_cwmax, rheight, rlength = bblm_mb(
+        bustr, bvstr, tau_c_b, tau_w_b, tau_cwmax, rheight, rlength = bblm_mb(
             cfg, grid, bp, state.u, state.v, z_r, z_w, rho[0],
             frc.get("Hwave", zero2f),
             frc.get("Pwave", zero2f + 8.0),
@@ -176,6 +217,16 @@ def step(cfg: Config, grid: Grid, state: State,
         from .ops.tides import equilibrium_tide, harmonic_constituents
         hcon = harmonic_constituents(cfg.tide_ref_datenum)
         eq_tide = equilibrium_tide(grid, state.time, hcon)
+    if grid.zice is not None:
+        # floating-ice load: the water pressure at the ice base carries
+        # the weight of the displaced water column, i.e. P_top gains
+        # g*|zice|*(1 + rho'/rho0) with rho' evaluated just below the
+        # ice base (reduced-pressure form of the reference's ICESHELF
+        # set_depth shift; enters through the eq_tide surface-pressure
+        # slot).  Using the top-cell density for the draft-mean rho'
+        # leaves only an O(drho'/draft) residual.
+        ice_load = -jnp.abs(grid.zice) * (1.0 + rho[-1] / cfg.rho0)
+        eq_tide = ice_load if eq_tide is None else eq_tide + ice_load
     ru, rv = prsgrd.prsgrd(cfg, grid, rho, z_r, z_w, Hz,
                            eq_tide=eq_tide)
 
@@ -292,7 +343,8 @@ def step(cfg: Config, grid: Grid, state: State,
     # --- new depths from the filtered free surface (main3d.F:736) ---
     z_r2, z_w2, Hz2 = vgrid.set_depth(grid.h, fs.Zt_avg1, hc, grid.sc_r,
                                       grid.Cs_r, grid.sc_w, grid.Cs_w,
-                                      cfg.vtransform)
+                                      cfg.vtransform,
+                                      zice=grid.zice)
 
     # --- 3D momentum corrector (main3d.F:762) ---
     u2, v2, ubar2, vbar2, Huon2, Hvom2 = step3d_uv(
@@ -396,9 +448,21 @@ def step(cfg: Config, grid: Grid, state: State,
     if cfg.sediment and cfg.sed_params is not None:
         from .ops.sediment import apply_sediment
         tau_sed = tau_cwmax if cfg.bbl else None
+        sed_kw = {}
+        if cfg.bbl and cfg.sed_params.bedload_method == "soulsby":
+            # wave/current stress split + wave-current angle for the
+            # Soulsby-Damgaard rates (sed_bedload.F:391-403)
+            from .ops.stencil import ip1 as _ip1, jp1 as _jp1
+            bu_r = 0.5 * (bustr + _ip1(bustr))
+            bv_r = 0.5 * (bvstr + _jp1(bvstr))
+            phic = jnp.arctan2(bv_r, bu_r)
+            sed_kw = dict(
+                tau_c=tau_c_b, tau_wav=tau_w_b,
+                phicw=1.5 * jnp.pi - frc.get("Dwave", zero2) - phic -
+                grid.angler)
         t2, bed_mass = apply_sediment(cfg, grid, cfg.sed_params, t2,
                                       bed_mass, Hz2, z_w2, bustr, bvstr,
-                                      tau_cw=tau_sed)
+                                      tau_cw=tau_sed, **sed_kw)
 
     new_state = state.replace(
         time=state.time + cfg.dt, iic=state.iic + 1,

@@ -144,12 +144,26 @@ def compute_hc(vtransform: int, tcline: float, hmin: float) -> float:
     raise ValueError(f"unknown Vtransform={vtransform}")
 
 
-def set_depth(h, zeta, hc, sc_r, Cs_r, sc_w, Cs_w, vtransform: int):
+def set_depth(h, zeta, hc, sc_r, Cs_r, sc_w, Cs_w, vtransform: int,
+              zice=None):
     """Depths z_r (N,Ny,Nx), z_w (N+1,Ny,Nx) and thicknesses Hz (N,Ny,Nx).
 
     Traced op; h and zeta are 2-D (Ny,Nx).  Reference: set_depth.F:160-250.
     z is negative downward; z_w[0] = -h.
+
+    zice (ICESHELF): ice-shelf draft (negative).  In roms_tpu, h is the
+    RESTING WATER-COLUMN THICKNESS everywhere (bathymetry minus |zice|
+    under the shelf), so the barotropic depth D = zeta + h stays
+    consistent with sum(Hz) under the ice; the s-levels stretch over h
+    and the whole column is displaced down by |zice|
+    (set_depth.F:183-192,231-241 does the same with hwater = h_bottom -
+    |zice|), so z_w[-1] = zeta - |zice| and z_w[0] = -(h + |zice|).
     """
+    if zice is not None:
+        dz_ice = jnp.abs(jnp.asarray(zice))
+        z_r, z_w, Hz = set_depth(h, zeta, hc, sc_r, Cs_r, sc_w, Cs_w,
+                                 vtransform)
+        return z_r - dz_ice, z_w - dz_ice, Hz
     h = jnp.asarray(h)
     zeta = jnp.asarray(zeta)
     sc_r = jnp.asarray(sc_r, dtype=h.dtype)[:, None, None]

@@ -227,3 +227,45 @@ def test_riverplume2_plume_and_ambient_current():
     assert salt[wet].min() < cfg.S0 - 0.5     # fresh water entered
     v = np.asarray(s.vbar)[jj, ii]
     assert v[wet].mean() < -0.005             # ambient southward flow
+
+
+def test_weddell_iceshelf_tide_enters_cavity():
+    """WEDDELL (ICESHELF): the M2 boundary tide propagates under the
+    ice shelf; the reduced-pressure floating-ice formulation holds the
+    cavity near rest apart from the tidal signal."""
+    cfg, grid, s0, ffn = cases2.weddell(Lm=150)
+    H = cfg.halo
+    step = stepping.make_stepper(cfg, grid, ffn, donate=False)
+    s = s0
+    z_cav = []
+    for n in range(500):
+        s = step(s)
+        z_cav.append(float(np.asarray(s.zeta)[H, H + 2]))
+    assert _finite(s)
+    z_cav = np.asarray(z_cav)
+    # tidal signal reached the cavity: the 25000 s record spans half an
+    # M2 cycle, so the series swings O(0.1 m); no runaway
+    assert z_cav.std() > 0.03
+    assert np.abs(z_cav).max() < 2.0
+    assert np.abs(np.asarray(s.ubar)).max() < 1.0
+    # the ice-base drag keeps the under-ice surface currents bounded
+    u_cav = np.asarray(s.u)[-1, H:H + cfg.Mm, H:H + 16]
+    assert np.abs(u_cav).max() < 1.0
+
+
+def test_iceshelf_rest_state_balance():
+    """A closed ice-shelf cavity at rest stays near rest: the ice-load
+    surface pressure balances the displaced water column (residual is
+    sigma-PG-error scale over the 340 m ice front)."""
+    from roms_tpu.config import LBC
+    cfg, grid, s0, ffn = cases2.weddell(Lm=80)
+    clo = LBC("Clo", "Per", "Clo", "Per")
+    cfg = cfg.replace(lbc_zeta=clo, lbc_ubar=clo, lbc_vbar=clo,
+                      lbc_u=clo, lbc_v=clo, lbc_t=clo)
+    s = s0
+    for n in range(20):
+        s = stepping.step(cfg, grid, s, None)
+    H = cfg.halo
+    ub = np.asarray(s.ubar)[H:-H, H:-H]
+    assert np.abs(ub).max() < 0.3
+    assert np.abs(np.asarray(s.zeta)[H:-H, H:-H]).max() < 0.5

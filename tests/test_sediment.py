@@ -150,3 +150,84 @@ def test_sed_toy_end_to_end():
     assert sed1 > sed0                     # deposition happened
     assert wat1 < wat0
     np.testing.assert_allclose(tot1, tot0, rtol=1e-8)
+
+
+def test_sed_morph_erosion_deepens_h():
+    """SED_MORPH: strong erosion thins the bed and the effective
+    bathymetry deepens (set_depth.F:166,214 feedback with the
+    morphological acceleration factor)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from roms_tpu.models import sed_toy
+    from roms_tpu.ops.sediment import SedParams, bed_thickness_total
+    from roms_tpu import stepping, vgrid
+    from roms_tpu.grid import hc_of
+    from roms_tpu.state import _initial_bed_mass
+
+    p = SedParams(Sd50=(0.0001,), Wsed=(1.0e-4,), Erate=(5.0e-3,),
+                  tau_ce=(1.0e-6,), tau_cd=(1.0e-6,),
+                  sed_morph=True, morph_fac=50.0)
+    cfg = sed_toy.make_config(params=p)
+    cfg, grid, s0, ffn = sed_toy.build(cfg)
+
+    # strong bottom current so the drag-law stress far exceeds tau_ce
+    u = jnp.full((cfg.N,) + grid.h.shape, 0.5, s0.zeta.dtype)
+    s = s0.replace(u=u, ubar=jnp.full_like(s0.zeta, 0.5))
+    thick_start = bed_thickness_total(p, s.bed_mass)
+    for _ in range(5):
+        s = stepping.step(cfg, grid, s, ffn)
+    thick_end = bed_thickness_total(p, s.bed_mass)
+    H = cfg.halo
+    jj, ii = slice(H, H + cfg.Mm), slice(H, H + cfg.Lm)
+    d_thick = np.asarray(thick_end - thick_start)[jj, ii]
+    assert d_thick.min() < -1.0e-5          # net erosion
+    # morph feedback: same erosion WITHOUT sed_morph leaves more bed
+    # change in h-space: compare the effective depth offsets
+    thick0 = bed_thickness_total(
+        p, _initial_bed_mass(cfg, grid.h.shape, grid.h.dtype))
+    dh = np.asarray(bed_thickness_total(p, s.bed_mass) - thick0)[jj, ii]
+    assert dh.min() < -1.0e-5               # h deepened where eroded
+    assert np.isfinite(np.asarray(s.t)).all()
+
+
+def test_soulsby_bedload_runs_and_transports():
+    """BEDLOAD_SOULSBY: wave-dominated stresses move bed mass along the
+    current direction (sed_bedload.F Soulsby-Damgaard branch)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from roms_tpu.config import Config
+    from roms_tpu.ops.sediment import SedParams, _bedload_mpm
+    from roms_tpu.models import sed_toy
+
+    p = SedParams(Sd50=(0.0005,), Wsed=(1.0e-3,),
+                  bedload=True, bedload_method="soulsby",
+                  bedload_coeff=1.0, tau_ce=(0.05 / 1025.0,))
+    cfg = sed_toy.make_config(params=p)
+    cfg, grid, s0, ffn = sed_toy.build(cfg)
+    shp = grid.h.shape
+    dt64 = s0.zeta.dtype
+    bed = s0.bed_mass
+    # eastward current stress + waves at 45 degrees
+    tau_c = jnp.full(shp, 2.0e-4, dt64)
+    tau_w = jnp.full(shp, 1.0e-3, dt64)
+    phicw = jnp.full(shp, 0.25 * np.pi, dt64)
+    bustr = jnp.full(shp, 2.0e-4, dt64)
+    bvstr = jnp.zeros(shp, dt64)
+    tau_mag = jnp.full(shp, 1.2e-3, dt64)
+    bed2 = _bedload_mpm(cfg, grid, p, bed, tau_mag, bustr, bvstr,
+                        tau_c=tau_c, tau_wav=tau_w, phicw=phicw)
+    d = np.asarray(bed2[0, 0] - bed[0, 0])
+    H = cfg.halo
+    # uniform stresses: divergence-free transport leaves the bed flat
+    assert np.isfinite(d).all()
+    assert np.abs(d[H + 2:-H - 2, H + 2:-H - 2]).max() < 1e-12
+    # a stress gradient (stronger waves downstream) makes the transport
+    # divergent: mass erodes where the flux increases along-stream
+    x = jnp.linspace(0.5, 1.5, shp[1])[None, :]
+    tau_wx = tau_w * x
+    bed3 = _bedload_mpm(cfg, grid, p, bed, tau_mag, bustr, bvstr,
+                        tau_c=tau_c, tau_wav=tau_wx, phicw=phicw)
+    db = np.asarray(bed3[0, 0] - bed[0, 0])
+    mid = db[H + 3:-H - 3, H + 3:-H - 3]
+    assert mid.min() < -1e-12               # divergent flux erodes
+    assert np.isfinite(db).all()
