@@ -138,6 +138,15 @@ def radiation_stress(cfg: Config, grid: Grid, zeta, Hz, Cs_r, Cs_w,
     v_st = (jm1(waveE) + waveE) * (jm1(waveny) + waveny) / \
         (jm1(wavec) + wavec) * jnp.cosh((jm1(kD) + kD) * fac2) * \
         0.5 * (jm1(o2sinh) + o2sinh) * grid.vmask
+    if cfg.wetdry:
+        # taper the wave transport to zero as the column dries: the
+        # Stokes flux bypasses the WET_DRY directional limiter (which
+        # acts on the Eulerian ubar only), so an untapered transport
+        # keeps pumping water through nearly-dry cells
+        dcrit = cfg.dcrit
+        fac = jnp.clip((Dstp - dcrit) / (9.0 * dcrit), 0.0, 1.0)
+        u_st = u_st * 0.5 * (im1(fac) + fac)
+        v_st = v_st * 0.5 * (jm1(fac) + fac)
 
     Hz_u = 0.5 * (im1(Hz) + Hz)
     Hz_v = 0.5 * (jm1(Hz) + Hz)

@@ -76,13 +76,31 @@ class Forcing2D(NamedTuple):
     svstr: Optional[jax.Array] = None
 
 
-def depth_fluxes(grid: Grid, zeta, ubar, vbar):
+def depth_fluxes(grid: Grid, zeta, ubar, vbar, us2d=None):
     """Total depth and vertically integrated mass fluxes
-    (step2d_LF_AM3.h:499-516)."""
+    (step2d_LF_AM3.h:499-516).  us2d: optional PRECOMPUTED
+    depth-integrated Stokes transports (TSu, TSv) - NEARSHORE_MELLOR
+    adds the wave transport to the fluxes seen by continuity and 2-D
+    advection (step2d_LF_AM3.h:529-541 DUSon/DVSom).  The transport is
+    held fixed over the fast loop (the reference re-scales
+    ubar_stokes by the instantaneous depth; freezing it instead makes
+    the fast-filtered Stokes content of DU_avg1/2 exact - the
+    difference is O(ubar_stokes * dzeta), documented delta)."""
     Drhs = zeta + grid.h
     DUon = ubar * at_u(Drhs) * grid.on_u
     DVom = vbar * at_v(Drhs) * grid.om_v
+    if us2d is not None:
+        DUon = DUon + us2d[0]
+        DVom = DVom + us2d[1]
     return Drhs, DUon, DVom
+
+
+def stokes_transport(grid: Grid, zeta, us2d_vel):
+    """Depth-integrated Stokes transports (TSu, TSv) at the step-start
+    free surface."""
+    us, vs = us2d_vel
+    Drhs = zeta + grid.h
+    return (us * at_u(Drhs) * grid.on_u, vs * at_v(Drhs) * grid.om_v)
 
 
 def _g(cfg: Config) -> float:
@@ -255,7 +273,7 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
               ru0_nm1=None, ru0_nm2=None, rv0_nm1=None, rv0_nm2=None,
               iic: int | jax.Array = 0,
               forcing: Optional[Forcing2D] = None,
-              bry=None, sources=None, clm=None):
+              bry=None, sources=None, clm=None, us2d=None):
     """Run the full fast loop of one slow step (SOLVE3D mode): nfast LF-AM3
     fast steps plus the auxiliary averaging step.
 
@@ -350,7 +368,8 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
         wet_avg = wd_p         # rmask_wet_avg := wetdry (wetdry.F:222-228)
     else:
         um_w = vm_w = pw_w = wet_avg = None
-    Drhs, DUon, DVom = depth_fluxes(grid, fs.zeta_n, fs.ubar_n, fs.vbar_n)
+    Drhs, DUon, DVom = depth_fluxes(grid, fs.zeta_n, fs.ubar_n,
+                                    fs.vbar_n, us2d=us2d)
     # averaging reset (:611-634); weight(2,iif+1) with iif=1 -> w2[1]
     cff2 = (-1.0 / 12.0) * w2[1]
     fs = fs.replace(Zt_avg1=zero, DU_avg1=zero, DV_avg1=zero,
@@ -416,7 +435,8 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
             wet_avg = wet_avg + wd_c
         else:
             um_c = vm_c = pw_c = None
-        Drhs, DUon, DVom = depth_fluxes(grid, zeta_p, ubar_p, vbar_p)
+        Drhs, DUon, DVom = depth_fluxes(grid, zeta_p, ubar_p, vbar_p,
+                                        us2d=us2d)
         # averaging, corrector branch (:688-713): weight(2,iif) -> w2[i-1]
         cff2 = w2[i - 1] if first else (5.0 / 12.0) * w2[i - 1]
         fs = fs.replace(DU_avg2=fs.DU_avg2 + cff2 * DUon,
@@ -475,13 +495,20 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
         else:
             um_p = vm_p = pw_p = None
         Drhs, DUon, DVom = depth_fluxes(grid, fs.zeta_n, fs.ubar_n,
-                                        fs.vbar_n)
+                                        fs.vbar_n, us2d=us2d)
         cff1 = w1[i - 2]                                  # weight(1,iif-1)
         cff2 = (8.0 / 12.0) * w2[i - 1] - (1.0 / 12.0) * w2[i]
+        if us2d is not None:
+            # DU_avg1 is the EULERIAN fast-averaged transport: the 3-D
+            # corrector replaces the Eulerian vertical mean only
+            # (step2d_LF_AM3.h:645-655)
+            du1, dv1 = DUon - us2d[0], DVom - us2d[1]
+        else:
+            du1, dv1 = DUon, DVom
         fs = fs.replace(
             Zt_avg1=fs.Zt_avg1 + cff1 * fs.zeta_n,
-            DU_avg1=fs.DU_avg1 + cff1 * DUon,
-            DV_avg1=fs.DV_avg1 + cff1 * DVom,
+            DU_avg1=fs.DU_avg1 + cff1 * du1,
+            DV_avg1=fs.DV_avg1 + cff1 * dv1,
             DU_avg2=fs.DU_avg2 + cff2 * DUon,
             DV_avg2=fs.DV_avg2 + cff2 * DVom)
 
@@ -531,14 +558,19 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
                                         (fs, wet_avg))
 
     # ========== auxiliary predictor (iif = nfast+1): averages only ==========
-    _, DUon, DVom = depth_fluxes(grid, fs.zeta_n, fs.ubar_n, fs.vbar_n)
+    Drhs_a, DUon, DVom = depth_fluxes(grid, fs.zeta_n, fs.ubar_n,
+                                      fs.vbar_n, us2d=us2d)
     i = nfast + 1
     cff1 = w1[i - 2]
     cff2 = (8.0 / 12.0) * w2[i - 1] - (1.0 / 12.0) * w2[i]
+    if us2d is not None:
+        du1, dv1 = DUon - us2d[0], DVom - us2d[1]
+    else:
+        du1, dv1 = DUon, DVom
     fs = fs.replace(
         Zt_avg1=bc.fill_halo(cfg, fs.Zt_avg1 + cff1 * fs.zeta_n),
-        DU_avg1=bc.fill_halo(cfg, fs.DU_avg1 + cff1 * DUon),
-        DV_avg1=bc.fill_halo(cfg, fs.DV_avg1 + cff1 * DVom),
+        DU_avg1=bc.fill_halo(cfg, fs.DU_avg1 + cff1 * du1),
+        DV_avg1=bc.fill_halo(cfg, fs.DV_avg1 + cff1 * dv1),
         DU_avg2=bc.fill_halo(cfg, fs.DU_avg2 + cff2 * DUon),
         DV_avg2=bc.fill_halo(cfg, fs.DV_avg2 + cff2 * DVom))
 

@@ -51,6 +51,8 @@ def supported(cfg: Config, bry=None, sources=None, clm=None) -> bool:
     """True when the fused kernel implements this configuration exactly."""
     if not cfg.solve3d or cfg.wetdry or cfg.volcons:
         return False
+    if cfg.nearshore is not None:     # Stokes transports (us2d path)
+        return False
     if bry is not None or sources is not None or clm is not None:
         return False
     for lbc in (cfg.lbc_zeta, cfg.lbc_ubar, cfg.lbc_vbar):

@@ -135,6 +135,22 @@ def step(cfg: Config, grid: Grid, state: State,
     # --- density (main3d.F:314) ---
     rho, pden = eos.rho_eos_pden(cfg, state.t, z_r)
 
+    # --- wave radiation stresses + Stokes drift (main3d's
+    #     radiation_stress call; ops/nearshore.py Mellor05) ---
+    ns = None
+    if cfg.nearshore == "mellor05" and "Hwave" in frc:
+        from .ops.nearshore import radiation_stress
+        ns = radiation_stress(
+            cfg, grid, state.zeta, Hz, grid.Cs_r, grid.Cs_w,
+            frc["Hwave"], frc.get("Dwave", zero2),
+            frc.get("Lwave", zero2 + 100.0))
+        # Stokes transport enters every advective mass flux
+        # (set_massflux.F:140-160)
+        Huon = Huon + 0.5 * (Hz + jnp.roll(Hz, 1, -1)) * ns.u_stokes * \
+            grid.on_u
+        Hvom = Hvom + 0.5 * (Hz + jnp.roll(Hz, 1, -2)) * ns.v_stokes * \
+            grid.om_v
+
     # --- surface/bottom fluxes (main3d.F:386-396) ---
     bustr, bvstr, stflx, btflx = set_vbc(cfg, grid, state.u, state.v,
                                          state.t, stflux, btflux,
@@ -270,12 +286,7 @@ def step(cfg: Config, grid: Grid, state: State,
     #     call; ops/nearshore.py Mellor05).  Applied to ru/rv like the
     #     reference's rhs3d.F:994 and folded into rufrc so the fast
     #     loop carries the depth-integrated stress ---
-    if cfg.nearshore == "mellor05" and "Hwave" in frc:
-        from .ops.nearshore import radiation_stress
-        ns = radiation_stress(
-            cfg, grid, state.zeta, Hz, grid.Cs_r, grid.Cs_w,
-            frc["Hwave"], frc.get("Dwave", zero2),
-            frc.get("Lwave", zero2 + 100.0))
+    if ns is not None:
         ru = ru - ns.rustr3d
         rv = rv - ns.rvstr3d
         rufrc = rufrc - ns.rustr2d
@@ -334,11 +345,18 @@ def step(cfg: Config, grid: Grid, state: State,
             state.rufrc0_prev, state.rufrc0_prev2,
             state.rvfrc0_prev, state.rvfrc0_prev2, state.iic)
     else:
+        if ns is not None:
+            from .ops.step2d import stokes_transport
+            us2d = stokes_transport(grid, state.zeta,
+                                    (ns.ubar_stokes, ns.vbar_stokes))
+        else:
+            us2d = None
         fs, rufrc_c, rvfrc_c, wet = fast_loop(
             cfg, grid, fs, rufrc=rufrc, rvfrc=rvfrc,
             ru0_nm1=state.rufrc0_prev, ru0_nm2=state.rufrc0_prev2,
             rv0_nm1=state.rvfrc0_prev, rv0_nm2=state.rvfrc0_prev2,
-            iic=state.iic, bry=bry, sources=sources, clm=clm)
+            iic=state.iic, bry=bry, sources=sources, clm=clm,
+            us2d=us2d)
 
     # --- new depths from the filtered free surface (main3d.F:736) ---
     z_r2, z_w2, Hz2 = vgrid.set_depth(grid.h, fs.Zt_avg1, hc, grid.sc_r,
@@ -346,12 +364,35 @@ def step(cfg: Config, grid: Grid, state: State,
                                       cfg.vtransform,
                                       zice=grid.zice)
 
-    # --- 3D momentum corrector (main3d.F:762) ---
+    # --- 3D momentum corrector (main3d.F:762).  With NEARSHORE the
+    #     time-centered consistency target DU_avg2 is total (Eulerian +
+    #     Stokes); the Stokes column integral is removed so step3d_uv
+    #     corrects the Eulerian flux only (step3d_uv.F:473 DCs) ---
+    DU2_t, DV2_t = fs.DU_avg2, fs.DV_avg2
+    if ns is not None:
+        DU2_t = DU2_t - us2d[0]
+        DV2_t = DV2_t - us2d[1]
     u2, v2, ubar2, vbar2, Huon2, Hvom2 = step3d_uv(
         cfg, grid, state.iic, u_nnew, v_nnew, ru, rv, Hz2, Akv,
-        fs.DU_avg1, fs.DV_avg1, fs.DU_avg2, fs.DV_avg2, Huon, Hvom,
+        fs.DU_avg1, fs.DV_avg1, DU2_t, DV2_t, Huon, Hvom,
         u_old=state.u, v_old=state.v, bry=bry, sources=sources,
         z_w_new=z_w2, wet=wet)
+    if ns is not None:
+        # tracer advection and omega see the total transport; the 3-D
+        # Stokes flux keeps the u_stokes profile but its column sum is
+        # pinned to the frozen 2-D transport (same mean-replacement
+        # idea step3d_uv applies to the Eulerian part) so that
+        # sum_k(Huon2) == DU_avg2 exactly -> tracer constancy holds
+        Hz2_u = 0.5 * (Hz2 + jnp.roll(Hz2, 1, -1))
+        Hz2_v = 0.5 * (Hz2 + jnp.roll(Hz2, 1, -2))
+        FSu = Hz2_u * ns.u_stokes * grid.on_u
+        FSv = Hz2_v * ns.v_stokes * grid.om_v
+        D2_u = jnp.sum(Hz2_u, axis=0)
+        D2_v = jnp.sum(Hz2_v, axis=0)
+        FSu = FSu + (us2d[0] - jnp.sum(FSu, axis=0)) * Hz2_u / D2_u
+        FSv = FSv + (us2d[1] - jnp.sum(FSv, axis=0)) * Hz2_v / D2_v
+        Huon2 = Huon2 + FSu
+        Hvom2 = Hvom2 + FSv
     if wet is not None:
         # the stored AB3 rhs history is limited too (step3d_uv.F:563)
         ru = ru * wet["umask_wet"]

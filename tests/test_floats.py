@@ -63,3 +63,52 @@ def test_floats_follow_model_flow():
     y = np.asarray(fl.yg[3])
     assert ((x > 0) & (x < cfg.Lm + 1)).all()
     assert ((y > 0) & (y < cfg.Mm + 1)).all()
+
+
+def test_floats_with_sharded_fields_match_single_device():
+    """mp_collect/mp_assemble analog: float trajectories are computed
+    from the logically-global sharded velocity fields (XLA gathers the
+    interpolation stencils across shards), so a multi-device run needs
+    no explicit collection step and matches single-device exactly."""
+    import numpy as np
+    import jax
+    from roms_tpu.models import upwelling
+    from roms_tpu.parallel import shard
+    from roms_tpu import stepping, vgrid, floats
+    from roms_tpu.grid import hc_of
+    from roms_tpu.ops.omega import set_massflux, omega
+
+    cfg = upwelling.make_config(Lm=26, Mm=26, N=4, dtype="float64")
+    cfg, grid, s0, ffn = upwelling.build(cfg)
+    H = cfg.halo
+    hc = hc_of(cfg)
+    fl0 = floats.init_floats(
+        np.asarray([6.0, 12.0, 20.0]) + H - 0.5,
+        np.asarray([8.0, 14.0, 20.0]) + H - 0.5,
+        np.asarray([-5.0, -40.0, -80.0]))
+
+    def advance(grid_x, s, fl, n):
+        step = stepping.make_stepper(cfg, grid_x, ffn, donate=False)
+        for _ in range(n):
+            s = step(s)
+            z_r, z_w, Hz = vgrid.set_depth(
+                grid_x.h, s.zeta, hc, grid_x.sc_r, grid_x.Cs_r,
+                grid_x.sc_w, grid_x.Cs_w, cfg.vtransform)
+            Huon, Hvom = set_massflux(cfg, grid_x, s.u, s.v, Hz)
+            W = omega(cfg, grid_x, Huon, Hvom, z_w)
+            fl = floats.step_floats(cfg, grid_x, s.u, s.v, W, Hz, fl)
+        return s, fl
+
+    _, fl_ref = advance(grid, s0, fl0, 6)
+
+    mesh = shard.make_mesh(jax.devices()[:8])
+    grid_s = shard.shard_state(mesh, grid)
+    s_s = shard.shard_state(mesh, s0)
+    _, fl_par = advance(grid_s, s_s, fl0, 6)
+
+    np.testing.assert_allclose(np.asarray(fl_par.xg),
+                               np.asarray(fl_ref.xg), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fl_par.yg),
+                               np.asarray(fl_ref.yg), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fl_par.zg),
+                               np.asarray(fl_ref.zg), atol=1e-8)

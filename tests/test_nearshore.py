@@ -114,3 +114,41 @@ def test_step_integration(setup):
     # the wave forcing must move momentum
     dv = np.abs(np.asarray(s1.v) - np.asarray(s2.v)).max()
     assert dv > 1e-7
+
+
+def test_stokes_transport_consistency_and_constancy():
+    """Stokes advection (NEARSHORE_MELLOR set_massflux.F:140-160 +
+    step2d DUSon): with the frozen-transport closure a constant tracer
+    under a steady oblique wave field stays constant to ~1e-6/step (the
+    residual is the documented first-corrector fast-filter
+    inconsistency acting on the wave transport; the reference's
+    instantaneous-depth DUSon carries the same structure)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from roms_tpu.models import upwelling
+    from roms_tpu import stepping
+    import roms_tpu.constants as C
+
+    cfg = upwelling.make_config(Lm=24, Mm=16, N=8, dtype="float64")
+    cfg = cfg.replace(nearshore="mellor05", vmix=None)
+    cfg, grid, s, ffn0 = upwelling.build(cfg)
+    one = jnp.ones_like(grid.h)
+
+    def ffn(cfg_, grid_, time):
+        base = dict(ffn0(cfg_, grid_, time) or {}) if ffn0 else {}
+        base.update({"Hwave": 0.8 * one, "Pwave": 8.0 * one,
+                     "Dwave": 225.0 * C.deg2rad * one,
+                     "Lwave": 60.0 * one})
+        return base
+
+    s = s.replace(t=s.t.at[0].set(17.0))
+    nst = 10
+    for _ in range(nst):
+        s = stepping.step(cfg, grid, s, ffn)
+    H = cfg.halo
+    t = np.asarray(s.t[0])[:, H:H + cfg.Mm, H:H + cfg.Lm]
+    assert np.isfinite(t).all()
+    assert np.abs(t - 17.0).max() < 1.0e-5 * nst
+    # the waves actually transport: mean flow responds to the oblique
+    # wave forcing
+    assert np.abs(np.asarray(s.vbar)).max() > 1.0e-5
