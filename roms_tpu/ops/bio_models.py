@@ -1307,3 +1307,266 @@ def red_tide(cfg: Config, p: RedTideParams, t_old, t_new, Hz, z_w, z_r,
 
     t_new = t_new.at[iDino].add(dino - dino_old)
     return t_new
+
+
+# =====================================================================
+# EcoSim (reduced): spectral bio-optics ecosystem (Biology/ecosim.h)
+# =====================================================================
+
+@dataclass(frozen=True)
+class EcosimParams:
+    """Reduced EcoSim (Bissett et al. 1999; Biology/ecosim.h:1-2576,
+    ecosim_mod.h parameter blocks).  Documented reductions vs the
+    reference: 2 phytoplankton groups (small flagellate + diatom)
+    instead of 4, one chlorophyll pigment per group instead of 7
+    pigments, one DOM constituent + CDOC instead of 2, one fecal class
+    instead of 2, no iron pools, and 12 spectral bands (25 nm,
+    400-700 nm) instead of 60 (5 nm).  The distinctive EcoSim
+    mechanics are kept: spectral downward irradiance with water/
+    chlorophyll/CDOC/detrital absorption, chlorophyll-specific photon
+    absorption driving carbon growth, Droop cell-quota nutrient
+    limitation on dynamic C:N:P (and C:Si for diatoms), carbon
+    exudation to (colored) DOM, a bacterioplankton loop remineralizing
+    DOM to NH4/PO4 with respiration to DIC, nitrification, and CDOC
+    photolysis."""
+    BioIter: int = 1
+    # light
+    PARfrac: float = 0.43
+    avgcos: float = 0.83           # mean cosine (ecosim avgcos_min...)
+    aDOC440: float = 0.012         # CDOC-specific absorption @440 (m2/mmolC)
+    sDOC: float = 0.014            # CDOC spectral slope (1/nm)
+    aDET440: float = 0.005         # detrital absorption @440
+    sDET: float = 0.011
+    # phytoplankton (group 0: small, group 1: diatom)
+    GtALG_max: tuple = (1.5, 2.5)      # 1/day max C growth
+    aPHYmax: tuple = (0.025, 0.015)    # m2/mg-chl peak astar @ ~440
+    # carbon fixed per absorbed radiant energy (mmolC m3 / (W day));
+    # sized so typical lit surface water is light-saturated (growth
+    # clipped at GtALG_max) and the subsurface is light-limited
+    EphotMax: float = 1.0
+    maxC2nALG: tuple = (14.0, 12.0)    # max C:N (quota floor for N)
+    minC2nALG: tuple = (6.0, 6.0)      # min C:N (replete)
+    maxC2pALG: tuple = (250.0, 200.0)  # C:P quotas
+    minC2pALG: tuple = (80.0, 80.0)
+    maxC2SiALG: tuple = (0.0, 10.0)    # diatoms only
+    minC2SiALG: tuple = (0.0, 5.0)
+    maxC2Chl: tuple = (80.0, 60.0)     # g C : g chl bounds
+    minC2Chl: tuple = (25.0, 20.0)
+    KNO3: tuple = (0.5, 1.0)           # mmol/m3 half saturations
+    KNH4: tuple = (0.25, 0.5)
+    KPO4: tuple = (0.05, 0.1)
+    KSiO: tuple = (0.0, 1.0)
+    ExALG: tuple = (0.05, 0.05)        # exudation fraction of growth
+    cdocfrac: float = 0.3              # colored fraction of exudation
+    HsGRZ: tuple = (0.1, 0.1)          # grazing closure (1/day/(mmolC))
+    WS: tuple = (0.0, 0.5)             # sinking (m/day; diatoms)
+    # bacteria
+    GtBAC_max: float = 2.0         # 1/day
+    HsDOC_ba: float = 20.0         # mmolC/m3 half sat
+    C2nBAC: float = 5.1            # bacteria C:N
+    C2pBAC: float = 60.0
+    BacGE: float = 0.3             # growth efficiency (rest respired)
+    BacMort: float = 0.3           # 1/day to DOM
+    # cycling
+    RtNIT: float = 0.05            # 1/day nitrification
+    KI_nit: float = 10.0           # W/m2 light inhibition scale
+    RtFec: float = 0.1             # 1/day fecal remineralization
+    wFec: float = 5.0              # m/day fecal sinking
+    photolysis: float = 0.05       # 1/day/(100 W/m2) CDOC photo-bleach
+
+
+# 12-band tables, 400-700 nm at 25 nm (band centers): pure-water
+# absorption (Pope & Fry 1997, sampled) and scattering
+_ES_LAM = jnp.asarray([400., 425., 450., 475., 500., 525., 550., 575.,
+                       600., 625., 650., 675.])
+_ES_AW = jnp.asarray([0.0066, 0.0051, 0.0092, 0.0114, 0.0204, 0.0409,
+                      0.0565, 0.0844, 0.2224, 0.2834, 0.34, 0.448])
+_ES_BW = 0.0076 * (400.0 / _ES_LAM) ** 4.3
+# normalized chl-specific absorption shape (flat-topped blue peak,
+# red secondary peak - the ecosim astar spectra collapsed to a shape)
+_ES_ASHAPE = jnp.asarray([0.9, 1.0, 0.95, 0.75, 0.45, 0.25, 0.15, 0.12,
+                          0.12, 0.18, 0.35, 0.85])
+
+
+def ecosim(cfg: Config, p: EcosimParams, t_old, t_new, Hz, z_w, srflx):
+    """Reduced EcoSim source/sink conversions; increment added to t_new.
+
+    Tracer layout (cfg.ibio, 20 entries):
+      0  iNO3   1 iNH4   2 iPO4   3 iSiO   4 iDIC
+      5  PhyC1  6 PhyN1  7 PhyP1  8 Chl1
+      9  PhyC2 10 PhyN2 11 PhyP2 12 PhyS2 13 Chl2
+      14 BacC  15 DOC   16 DON   17 CDOC
+      18 FecC  19 FecN
+    """
+    idb = cfg.ibio
+    if len(idb) != 20:
+        raise ValueError(f"ecosim needs 20 bio tracers, got {len(idb)}")
+    dtd = cfg.dt / 86400.0 / max(1, p.BioIter)
+
+    bio = jnp.stack([t_old[i] for i in idb])
+    bio = _positive_definite(bio)
+    bio_old = bio
+    (iNO3, iNH4, iPO4, iSiO, iDIC, iC1, iN1, iP1, iL1,
+     iC2, iN2, iP2, iS2, iL2, iBAC, iDOC, iDON, iCDC,
+     iFC, iFN) = range(20)
+
+    par0 = p.PARfrac * jnp.maximum(srflx, 0.0) * rho0 * Cp  # W/m2
+    nb = _ES_LAM.shape[0]
+
+    for _ in range(max(1, p.BioIter)):
+        chl = (bio[iL1], bio[iL2])
+        # ---- spectral downward irradiance Ed(band, k) (ecosim.h
+        #      "daylight" block: dATT = (aw + achl + acdoc + adet +
+        #      0.5*bw) / avgcos, integrated down from the surface) ----
+        lam = _ES_LAM[:, None, None, None]
+        a_w = _ES_AW[:, None, None, None] + \
+            0.5 * _ES_BW[:, None, None, None]
+        a_chl = (_ES_ASHAPE[:, None, None, None] *
+                 (p.aPHYmax[0] * chl[0][None] + p.aPHYmax[1] *
+                  chl[1][None]))
+        a_cdc = p.aDOC440 * bio[iCDC][None] * \
+            jnp.exp(-p.sDOC * (lam - 440.0))
+        a_det = p.aDET440 * 0.01 * bio[iFC][None] * \
+            jnp.exp(-p.sDET * (lam - 440.0))
+        dATT = (a_w + a_chl + a_cdc + a_det) / p.avgcos   # (nb,N,Ny,Nx)
+        tau = jnp.cumsum((dATT * Hz[None])[:, ::-1], axis=1)[:, ::-1]
+        tau_up = tau - dATT * Hz[None]                    # top of cell
+        # band-mean Ed inside the cell; equal band split of PAR at z=0
+        att = jnp.maximum(dATT * Hz[None], 1.0e-12)
+        Ed = (par0[None, None] / nb) * jnp.exp(-tau_up) * \
+            (1.0 - jnp.exp(-att)) / att
+        par_tot = jnp.sum(Ed, axis=0)                     # W/m2 at cells
+
+        # ---- phytoplankton groups ----
+        for g, (iC, iN, iP, iL) in enumerate(
+                ((iC1, iN1, iP1, iL1), (iC2, iN2, iP2, iL2))):
+            phyC = jnp.maximum(bio[iC], _MINVAL)
+            # absorbed energy -> light-limited growth (photon flux *
+            # chl-specific absorption; ecosim couples growth to
+            # absorbed quanta instead of a PI curve)
+            Eabs = jnp.sum(Ed * _ES_ASHAPE[:, None, None, None], axis=0) \
+                * p.aPHYmax[g] * bio[iL]
+            mu_E = p.EphotMax * Eabs / phyC               # 1/day
+            # Droop quota limitation on dynamic C:N / C:P (/ C:Si)
+            QN = bio[iN] / phyC                           # N:C
+            QP = bio[iP] / phyC
+            limN = jnp.clip((QN - 1.0 / p.maxC2nALG[g]) /
+                            (1.0 / p.minC2nALG[g] - 1.0 / p.maxC2nALG[g]),
+                            0.0, 1.0)
+            limP = jnp.clip((QP - 1.0 / p.maxC2pALG[g]) /
+                            (1.0 / p.minC2pALG[g] - 1.0 / p.maxC2pALG[g]),
+                            0.0, 1.0)
+            lim = jnp.minimum(limN, limP)
+            if p.maxC2SiALG[g] > 0.0:
+                QS = bio[iS2] / phyC
+                limS = jnp.clip(
+                    (QS - 1.0 / p.maxC2SiALG[g]) /
+                    (1.0 / p.minC2SiALG[g] - 1.0 / p.maxC2SiALG[g]),
+                    0.0, 1.0)
+                lim = jnp.minimum(lim, limS)
+            mu = jnp.minimum(p.GtALG_max[g], mu_E) * lim  # 1/day
+            growth = mu * phyC * dtd                      # mmolC
+            exud = p.ExALG[g] * growth
+            netC = growth - exud
+
+            # nutrient uptake toward the replete quota (Droop V)
+            room_n = jnp.maximum(phyC / p.minC2nALG[g] - bio[iN], 0.0)
+            upNH4 = jnp.minimum(
+                dtd * p.GtALG_max[g] * phyC / p.minC2nALG[g] *
+                bio[iNH4] / (p.KNH4[g] + bio[iNH4]), room_n)
+            room_n = room_n - upNH4
+            upNO3 = jnp.minimum(
+                dtd * p.GtALG_max[g] * phyC / p.minC2nALG[g] *
+                bio[iNO3] / (p.KNO3[g] + bio[iNO3]), room_n)
+            upNO3 = jnp.minimum(upNO3, 0.9 * bio[iNO3])
+            upNH4 = jnp.minimum(upNH4, 0.9 * bio[iNH4])
+            room_p = jnp.maximum(phyC / p.minC2pALG[g] - bio[iP], 0.0)
+            upPO4 = jnp.minimum(
+                dtd * p.GtALG_max[g] * phyC / p.minC2pALG[g] *
+                bio[iPO4] / (p.KPO4[g] + bio[iPO4]), room_p)
+            upPO4 = jnp.minimum(upPO4, 0.9 * bio[iPO4])
+
+            # grazing closure (quadratic, unresolved zooplankton;
+            # ecosim losses go to fecal + DOM)
+            graze = dtd * p.HsGRZ[g] * phyC * phyC / \
+                jnp.maximum(phyC + 1.0, 1.0)
+            fgrz = jnp.clip(graze / jnp.maximum(phyC, _MINVAL),
+                            0.0, 0.5)
+            # chlorophyll: photoacclimate toward C:chl between bounds
+            # (low light -> more chl per C)
+            c2chl_t = p.minC2Chl[g] + (p.maxC2Chl[g] - p.minC2Chl[g]) \
+                * par_tot / (par_tot + 30.0)
+            chl_target = 12.0 * phyC / c2chl_t     # mg chl (12 gC/molC)
+            dchl = 0.5 * dtd * (chl_target - bio[iL])
+
+            bio = (bio
+                   .at[iC].add(netC - fgrz * phyC)
+                   .at[iN].add(upNO3 + upNH4 - fgrz * bio[iN])
+                   .at[iP].add(upPO4 - fgrz * bio[iP])
+                   .at[iL].add(dchl - fgrz * bio[iL])
+                   .at[iNO3].add(-upNO3)
+                   .at[iNH4].add(-upNH4)
+                   .at[iPO4].add(-upPO4)
+                   .at[iDIC].add(-netC)
+                   .at[iDOC].add(exud * (1.0 - p.cdocfrac))
+                   .at[iCDC].add(exud * p.cdocfrac)
+                   .at[iFC].add(fgrz * phyC)
+                   .at[iFN].add(fgrz * bio[iN]))
+            if p.maxC2SiALG[g] > 0.0:
+                room_s = jnp.maximum(phyC / p.minC2SiALG[g] - bio[iS2],
+                                     0.0)
+                upSiO = jnp.minimum(
+                    dtd * p.GtALG_max[g] * phyC / p.minC2SiALG[g] *
+                    bio[iSiO] / (p.KSiO[g] + bio[iSiO]), room_s)
+                upSiO = jnp.minimum(upSiO, 0.9 * bio[iSiO])
+                bio = (bio.at[iS2].add(upSiO - fgrz * bio[iS2])
+                       .at[iSiO].add(-upSiO + fgrz * bio[iS2]))
+
+        # ---- bacterioplankton loop (DOM -> NH4/PO4/DIC) ----
+        upDOC = dtd * p.GtBAC_max * bio[iBAC] * \
+            bio[iDOC] / (p.HsDOC_ba + bio[iDOC])
+        upDOC = jnp.minimum(upDOC, 0.9 * bio[iDOC])
+        bacC = upDOC * p.BacGE                    # new bacterial C
+        respC = upDOC - bacC                      # respired to DIC
+        upDON = jnp.minimum(upDOC * (bio[iDON] /
+                                     jnp.maximum(bio[iDOC], _MINVAL)),
+                            0.9 * bio[iDON])
+        exN = jnp.maximum(upDON - bacC / p.C2nBAC, 0.0)   # excess -> NH4
+        mortB = dtd * p.BacMort * bio[iBAC]
+        bio = (bio
+               .at[iBAC].add(bacC - mortB)
+               .at[iDOC].add(-upDOC + mortB)
+               .at[iDON].add(-upDON + mortB / p.C2nBAC)
+               .at[iDIC].add(respC)
+               .at[iNH4].add(exN)
+               .at[iPO4].add(respC / p.C2pBAC))
+
+        # ---- nitrification (light inhibited) ----
+        nitr = dtd * p.RtNIT * bio[iNH4] * p.KI_nit / (p.KI_nit +
+                                                       par_tot)
+        bio = bio.at[iNH4].add(-nitr).at[iNO3].add(nitr)
+
+        # ---- fecal remineralization ----
+        remC = dtd * p.RtFec * bio[iFC]
+        remN = dtd * p.RtFec * bio[iFN]
+        bio = (bio.at[iFC].add(-remC).at[iFN].add(-remN)
+               .at[iDOC].add(remC).at[iDON].add(remN))
+
+        # ---- CDOC photolysis (surface-light bleaching to DOC) ----
+        photo = dtd * p.photolysis * (par_tot / 100.0) * bio[iCDC]
+        bio = bio.at[iCDC].add(-photo).at[iDOC].add(photo)
+
+        # ---- sinking: diatom pools and fecal matter ----
+        sink_sets = [(iFC, p.wFec), (iFN, p.wFec)]
+        if p.WS[1] != 0.0:
+            sink_sets += [(i, p.WS[1]) for i in (iC2, iN2, iP2, iS2,
+                                                 iL2)]
+        for comp, w in sink_sets:
+            sunk, _ = ppm_sink(bio[comp], Hz, z_w, dtd * abs(w))
+            bio = bio.at[comp].set(sunk)
+        bio = _positive_definite(bio)
+
+    incr = bio - bio_old
+    for n, i in enumerate(idb):
+        t_new = t_new.at[i].add(incr[n])
+    return t_new

@@ -270,6 +270,10 @@ def apply_biology(cfg: Config, grid, t_old, t_new, Hz, z_w, srflx,
         from .bio_models import nemuro, NemuroParams
         p = cfg.bio_params or NemuroParams()
         return nemuro(cfg, p, t_old, t_new, Hz, z_w, srflx)
+    if cfg.biology == "ecosim":
+        from .bio_models import ecosim, EcosimParams
+        p = cfg.bio_params or EcosimParams()
+        return ecosim(cfg, p, t_old, t_new, Hz, z_w, srflx)
     if cfg.biology == "red_tide":
         from .bio_models import red_tide, RedTideParams
         p = cfg.bio_params or RedTideParams()

@@ -326,3 +326,156 @@ def test_red_tide_endo_scale_wraps():
         assert 0.0 < v <= 1.0
     # May (mid-month 135.5) is the germination-potential peak
     assert float(_endo_scale(jnp.asarray(135.5))) == pytest.approx(1.0)
+
+
+# =====================================================================
+# EcoSim (reduced)
+# =====================================================================
+
+def _ecosim_setup(Lm=6, Mm=6, N=12, par=200.0):
+    import jax.numpy as jnp
+    from roms_tpu.models import upwelling
+    from roms_tpu.ops.bio_models import EcosimParams
+    from roms_tpu import vgrid
+    from roms_tpu.grid import hc_of
+    from roms_tpu.constants import rho0_default, Cp
+
+    nbio = 20
+    nt = 2 + nbio
+    cfg = upwelling.make_config(Lm=Lm, Mm=Mm, N=N, dtype="float64")
+    cfg = cfg.replace(ntracers=nt, biology="ecosim",
+                      bio_params=EcosimParams(),
+                      ibio=tuple(range(2, 2 + nbio)),
+                      t_hadv=nt * ("U3",), t_vadv=nt * ("C4",),
+                      tnu2=nt * (0.0,))
+    cfg, grid, s, _ = upwelling.build(cfg)
+    hc = hc_of(cfg)
+    z_r, z_w, Hz = vgrid.set_depth(grid.h, s.zeta, hc, grid.sc_r,
+                                   grid.Cs_r, grid.sc_w, grid.Cs_w,
+                                   cfg.vtransform)
+    t = jnp.zeros((nt,) + z_r.shape)
+    t = t.at[0].set(15.0).at[1].set(35.0)
+    vals = {0: 8.0, 1: 0.5, 2: 0.6, 3: 6.0, 4: 2100.0,   # nutrients+DIC
+            5: 1.0, 6: 0.12, 7: 0.008, 8: 0.3,           # phy1 C,N,P,chl
+            9: 1.0, 10: 0.15, 11: 0.01, 12: 0.16, 13: 0.5,
+            14: 0.5, 15: 10.0, 16: 1.0, 17: 2.0,         # bac, DOM
+            18: 0.5, 19: 0.06}                           # fecal
+    for k, v in vals.items():
+        t = t.at[2 + k].set(v)
+    srflx = jnp.full_like(grid.h, par / (rho0_default * Cp))
+    return cfg, grid, t, Hz, z_w, srflx
+
+
+def test_ecosim_growth_and_budgets():
+    """Lit, nutrient-replete water column: phytoplankton C grows, DIC
+    drops, nutrients are consumed, and total N (NO3+NH4+PhyN+DON+BacN+
+    FecN) is conserved up to the bacteria stoichiometric closure."""
+    import numpy as np
+    from roms_tpu.ops.bio_models import ecosim
+    cfg, grid, t, Hz, z_w, srflx = _ecosim_setup()
+    p = cfg.bio_params
+    # isolate the autotrophic pathway: empty the heterotroph pools so
+    # bacterial remineralization cannot mask uptake signals
+    for k in (14, 15, 16, 18, 19):
+        t = t.at[2 + k].set(1e-12)
+    t1 = ecosim(cfg, p, t, t, Hz, z_w, srflx)
+    H = cfg.halo
+    sl = (slice(None), slice(H, H + cfg.Mm), slice(H, H + cfg.Lm))
+    top = -1
+    d = {k: np.asarray(t1[2 + k] - t[2 + k])[sl] for k in range(20)}
+    Hzi = np.asarray(Hz)[sl]
+    # growth: small group gains C at the surface; the diatom group
+    # gains COLUMN-integrated C (its surface cells also lose mass to
+    # sinking, which conserves the integral)
+    assert d[5][top].mean() > 0.0
+    assert (d[9] * Hzi).sum(axis=0).mean() > 0.0
+    # photosynthetic DIC drawdown and nutrient consumption
+    assert d[4][top].mean() < 0.0
+    assert (d[0] + d[1])[top].mean() < 0.0
+    # diatoms consumed silica
+    assert d[3][top].mean() < 0.0
+    # exudation fed the (colored) DOM pools
+    assert (d[15] + d[17])[top].mean() > 0.0
+    assert np.isfinite(np.asarray(t1)).all()
+
+
+def test_ecosim_spectral_light_cdoc_shading():
+    """The distinctive EcoSim mechanism: colored DOC absorbs blue light
+    and reduces deep phytoplankton growth relative to clear water."""
+    import numpy as np
+    from roms_tpu.ops.bio_models import ecosim
+    cfg, grid, t, Hz, z_w, srflx = _ecosim_setup(N=16)
+    p = cfg.bio_params
+    t_clear = t.at[2 + 17].set(0.0)          # no CDOC
+    t_dark = t.at[2 + 17].set(60.0)          # strongly colored
+    g_clear = ecosim(cfg, p, t_clear, t_clear, Hz, z_w, srflx)
+    g_dark = ecosim(cfg, p, t_dark, t_dark, Hz, z_w, srflx)
+    H = cfg.halo
+    kmid = cfg.N // 2                        # mid-depth cell
+    dC_clear = np.asarray(g_clear[2 + 5] - t_clear[2 + 5])[kmid, H + 2,
+                                                           H + 2]
+    dC_dark = np.asarray(g_dark[2 + 5] - t_dark[2 + 5])[kmid, H + 2,
+                                                        H + 2]
+    assert dC_clear > 2.0 * max(dC_dark, 0.0) or dC_dark <= 0.0
+
+
+def test_ecosim_dark_bacteria_remineralize():
+    """In the dark: no growth, bacteria consume DOM and produce NH4 and
+    DIC; nitrification converts NH4 to NO3 (uninhibited without
+    light)."""
+    import numpy as np
+    from roms_tpu.ops.bio_models import ecosim
+    import jax.numpy as jnp
+    cfg, grid, t, Hz, z_w, srflx = _ecosim_setup(par=0.0)
+    p = cfg.bio_params
+    # remove phytoplankton so dark Droop uptake does not mask the
+    # bacterial/nitrification signals
+    for k in (5, 6, 7, 8, 9, 10, 11, 12, 13):
+        t = t.at[2 + k].set(1e-12)
+    t1 = ecosim(cfg, p, t, t, Hz, z_w, srflx)
+    H = cfg.halo
+    sl = (slice(None), slice(H, H + cfg.Mm), slice(H, H + cfg.Lm))
+    d = {k: np.asarray(t1[2 + k] - t[2 + k])[sl] for k in
+         (0, 4, 5, 9, 15)}
+    assert np.abs(d[5]).max() <= 1e-10                   # no growth
+    assert d[15].mean() < 0.0                            # DOC consumed
+    assert d[4].mean() > 0.0                             # respiration
+    assert d[0].mean() > 0.0                             # nitrification
+
+
+def test_ecosim_runs_in_full_step():
+    """EcoSim inside the full stepping loop stays finite and positive."""
+    import numpy as np
+    import jax.numpy as jnp
+    from roms_tpu.models import upwelling
+    from roms_tpu.ops.bio_models import EcosimParams
+    from roms_tpu import stepping
+    nbio = 20
+    nt = 2 + nbio
+    cfg = upwelling.make_config(Lm=8, Mm=8, N=8, dtype="float64")
+    cfg = cfg.replace(ntracers=nt, biology="ecosim",
+                      bio_params=EcosimParams(),
+                      ibio=tuple(range(2, 2 + nbio)),
+                      t_hadv=nt * ("U3",), t_vadv=nt * ("C4",),
+                      tnu2=nt * (0.0,), akt_bak=(1e-6, 1e-6))
+    cfg, grid, s, ffn0 = upwelling.build(cfg)
+    t = s.t
+    t = t.at[2].set(8.0).at[3].set(0.5).at[4].set(0.6).at[5].set(6.0)
+    t = t.at[6].set(2100.0).at[7].set(1.0).at[8].set(0.12)
+    t = t.at[9].set(0.008).at[10].set(0.3).at[11].set(1.0)
+    t = t.at[12].set(0.12).at[13].set(0.008).at[14].set(0.15)
+    t = t.at[15].set(0.3).at[16].set(0.5).at[17].set(10.0)
+    t = t.at[18].set(1.0).at[19].set(2.0).at[20].set(0.5)
+    t = t.at[21].set(0.06)
+    s = s.replace(t=t)
+    from roms_tpu.constants import rho0_default, Cp
+    one = jnp.ones_like(grid.h)
+    def ffn(cfg_, grid_, time):
+        base = dict(ffn0(cfg_, grid_, time) or {}) if ffn0 else {}
+        base["srflx"] = 150.0 / (rho0_default * Cp) * one
+        return base
+    for _ in range(5):
+        s = stepping.step(cfg, grid, s, ffn)
+    assert np.isfinite(np.asarray(s.t)).all()
+    H = cfg.halo
+    assert np.asarray(s.t[7])[:, H:-H, H:-H].min() > 0.0   # PhyC1 alive
