@@ -494,3 +494,131 @@ def make_nested_stepper(cfg_c: Config, grid_c: Grid, cfg_f: Config,
         return sc_new, sf
 
     return jax.jit(step_nested)
+
+
+# =====================================================================
+# Composite grids (nesting.F composite class; DOGBONE-style)
+# =====================================================================
+
+@dataclass(frozen=True)
+class CompositeSpec:
+    """Two same-resolution grids abutting along an eta-parallel line,
+    overlapping by `olap` rho columns (the reference's composite-grid
+    contact regions, set_contact.F; equal spacing makes every contact
+    point a direct donor column - no interpolation weights).
+
+    Grid A is the left (west) grid, grid B the right: B's roms column
+    i corresponds to A's column i + offset with offset = Lm_A - olap.
+    Both grids step concurrently; each takes the other's interior as
+    clamped boundary data on the contact side (get_composite
+    semantics, one-step time lag)."""
+    olap: int = 4
+
+
+def composite_bry_pair(cfg_a: Config, state_a, cfg_b: Config, state_b,
+                       spec: CompositeSpec):
+    """Contact boundary data: (bry_for_A_east, bry_for_B_west).
+
+    Lines are full padded 1-D (or (N,ny)/(NT,N,ny)) columns, the layout
+    ops/obc.py clamped BCs consume."""
+    Ha, Hb = cfg_a.halo, cfg_b.halo
+    off = cfg_a.Lm - spec.olap
+
+    def cols(state, rho_col, u_col):
+        return {
+            "zeta": state.zeta[..., :, rho_col],
+            "vbar": state.vbar[..., :, rho_col],
+            "v": state.v[..., :, rho_col],
+            "t": state.t[..., :, rho_col],
+            "ubar": state.ubar[..., :, u_col],
+            "u": state.u[..., :, u_col],
+        }
+
+    # B's west rings: rho ring (B roms i=0) -> A col off+Ha-1;
+    # u ring (B face i=1) -> A face off+Ha
+    src_b = cols(state_a, off + Ha - 1, off + Ha)
+    bry_b = {f"{k}_west": v for k, v in src_b.items()}
+    # A's east rings: rho ring (A roms i=Lm+1) -> B col olap+Hb;
+    # u ring (A face i=Lm+1) -> B face olap+Hb
+    src_a = cols(state_b, spec.olap + Hb, spec.olap + Hb)
+    bry_a = {f"{k}_east": v for k, v in src_a.items()}
+    return bry_a, bry_b
+
+
+def make_composite_stepper(cfg_a: Config, grid_a: Grid,
+                           cfg_b: Config, grid_b: Grid,
+                           spec: CompositeSpec,
+                           ffn_a: Optional[Callable] = None,
+                           ffn_b: Optional[Callable] = None,
+                           donate: bool = True):
+    """jitted (state_a, state_b) -> (state_a', state_b'): one step of
+    both composite grids with mutual contact boundary data."""
+    from . import stepping
+
+    def _wrap(ffn, bry):
+        def f(cfg, grid, time, _bry=bry, _ffn=ffn):
+            base = dict(_ffn(cfg, grid, time) or {}) if _ffn else {}
+            merged = dict(base.get("bry", {}) or {})
+            merged.update(_bry)
+            base["bry"] = merged
+            return base
+        return f
+
+    def step_pair(sa, sb):
+        bry_a, bry_b = composite_bry_pair(cfg_a, sa, cfg_b, sb, spec)
+        sa2 = stepping.step(cfg_a, grid_a, sa, _wrap(ffn_a, bry_a))
+        sb2 = stepping.step(cfg_b, grid_b, sb, _wrap(ffn_b, bry_b))
+        return composite_exchange(cfg_a, sa2, cfg_b, sb2, spec)
+
+    return jax.jit(step_pair, donate_argnums=(0, 1) if donate else ())
+
+
+def composite_exchange(cfg_a: Config, sa, cfg_b: Config, sb,
+                       spec: CompositeSpec):
+    """Post-step two-way contact-region refresh (the analog of the
+    reference's in-step composite sync points, nesting.F
+    get_composite): each grid's half of the overlap plus its ghost
+    ring is overwritten with the other grid's interior solution, so
+    the overlap acts as a once-per-step halo exchange between blocks.
+    The interface sits mid-overlap; boundary-clamp staleness can only
+    contaminate the outer olap/2 columns, which are replaced here."""
+    Ha, Hb = cfg_a.halo, cfg_b.halo
+    off = cfg_a.Lm - spec.olap
+    half = spec.olap // 2
+    na = cfg_a.nx_tot
+
+    # A gets B's solution for global roms columns > LA - half (through
+    # A's ghost ring); B gets A's for global columns <= off + half.
+    a_lo = (cfg_a.Lm - half) + Ha          # first A padded col replaced
+    b_cols = jnp.arange(a_lo, na) - Ha + 1 - off + Hb - 1
+
+    b_hi = half + Hb                       # B padded cols [0, b_hi)
+    a_cols = jnp.arange(0, b_hi) - Hb + 1 + off + Ha - 1
+
+    def swap(xa, xb):
+        xa2 = xa.at[..., :, a_lo:].set(
+            jnp.take(xb, b_cols, axis=-1))
+        xb2 = xb.at[..., :, :b_hi].set(
+            jnp.take(xa, a_cols, axis=-1))
+        return xa2, xb2
+
+    fields = ("zeta", "ubar", "vbar", "u", "v", "t", "rzeta", "rubar",
+              "rvbar", "rufrc0_prev", "rufrc0_prev2", "rvfrc0_prev",
+              "rvfrc0_prev2", "ru_prev", "ru_prev2", "rv_prev",
+              "rv_prev2", "t_prev")
+    upd_a, upd_b = {}, {}
+    for f in fields:
+        xa = getattr(sa, f, None)
+        xb = getattr(sb, f, None)
+        if xa is None or xb is None or xa.ndim < 2 or xa.size == 0:
+            continue
+        upd_a[f], upd_b[f] = swap(xa, xb)
+    return sa.replace(**upd_a), sb.replace(**upd_b)
+
+
+def composite_lbc(side: str) -> LBC:
+    """Clamped LBC for a contact side, closed elsewhere (helper for
+    building composite members)."""
+    kw = {"west": ("Cla", "Clo", "Clo", "Clo"),
+          "east": ("Clo", "Clo", "Cla", "Clo")}[side]
+    return LBC(*kw)

