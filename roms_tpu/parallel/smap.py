@@ -170,7 +170,8 @@ def make_smap_stepper(cfg: Config, grid, mesh: Mesh,
 
     def local_step(grid_blk, state_blk):
         gl = jax.tree_util.tree_map(
-            lambda a, s: a[0, 0] if s != P() else a, grid_blk, grid_specs,
+            lambda a, s: a if a is None else
+            (a[0, 0] if s != P() else a), grid_blk, grid_specs,
             is_leaf=lambda x: x is None)
         ctx = make_ctx(cfg_l)
         bc.push_ctx(ctx)
