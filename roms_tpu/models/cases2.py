@@ -665,3 +665,65 @@ def weddell(Lm=300, Mm=10, N=30, dt=50.0, ndtfast=20, dtype="float64"):
             "vbar_east": vbe * ones}}
 
     return cfg, grid, state0, forcing_fn
+
+
+def bl_test(Lm=39, Mm=4, N=30, dt=150.0, ndtfast=30, dtype="float64"):
+    """BL_TEST: coastal boundary-layer test column (bl_test.h;
+    roms_bl_test.in: 39x4x30, DT=150 s).  100x5 km shelf,
+    h = 14 + 25(1-exp(-pi*x*1e-5)) - 8*exp(-((x+500)/15000)^2)
+    (ana_grid.h:926-934), f=9.25e-4; NS periodic, east radiation; full
+    KPP (Ri mixing + convection + double diffusion + surface/bottom
+    layers + nonlocal); JM95 EOS; northward wind svstr=0.3 N/m2
+    (ana_smflux.h:153-163) and the diurnal-albedo shortwave cycle.
+    Initial t = T0 + 6.25*tanh(1.1 z + 11), s = S0 - 0.75*tanh(...)
+    (ana_initial.h:546-558).  Documented deltas: uniform dx (the
+    reference stretches dx from 675 m near shore), direct wind stress
+    instead of the COARE analytic-atmosphere chain."""
+    per = "Per"
+    cfg = Config(
+        name="bl_test", Lm=Lm, Mm=Mm, N=N, ntracers=2,
+        ew_periodic=False, ns_periodic=True,
+        dt=dt, ndtfast=ndtfast,
+        uv_vis2=True, visc2=0.0, tnu2=(0.0, 0.0),
+        t_hadv=("U3", "U3"), t_vadv=("C4", "C4"),
+        splines_vdiff=True, splines_vvisc=True,
+        akv_bak=1.0e-5, akt_bak=(1.0e-6, 1.0e-6),
+        bottom_drag="quadratic", rdrg2=3.0e-3,
+        vmix="kpp", kpp_bottom=True, lmd_ddmix=True,
+        eos="jm95", T0=17.25, S0=31.0,
+        theta_s=5.0, theta_b=1.5, tcline=20.0, vtransform=2,
+        vstretching=4,
+        lbc_zeta=LBC(BC_CLOSED, per, BC_GRADIENT, per),
+        lbc_ubar=LBC(BC_CLOSED, per, BC_RADIATION, per),
+        lbc_vbar=LBC(BC_CLOSED, per, BC_RADIATION, per),
+        lbc_u=LBC(BC_CLOSED, per, BC_RADIATION, per),
+        lbc_v=LBC(BC_CLOSED, per, BC_RADIATION, per),
+        lbc_t=LBC(BC_CLOSED, per, BC_RADIATION, per),
+        dtype=dtype)
+
+    def depth_fn(x, y, i, j, c):
+        val1 = (x + 500.0) / 15000.0
+        return 14.0 + 25.0 * (1.0 - np.exp(-np.pi * x * 1.0e-5)) - \
+            8.0 * np.exp(-val1 * val1)
+
+    grid, cfg = build_grid(cfg, 100.0e3, 5.0e3, f0=9.25e-4, beta=0.0,
+                           depth_fn=depth_fn)
+    z_r, _, _ = _depths_at_rest(cfg, grid)
+    val1 = jnp.tanh(1.1 * z_r + 11.0)
+    temp = cfg.T0 + 6.25 * val1
+    salt = cfg.S0 - 0.75 * val1
+    fh = lambda a: bc.fill_halo(cfg, a)
+    state0 = initial_state(cfg, t=jnp.stack([fh(temp), fh(salt)]))
+
+    from ..ops.bulk_flux import ana_srflux_albedo
+
+    def forcing_fn(cfg_, grid_, time):
+        zero = jnp.zeros_like(grid_.h)
+        srflx = ana_srflux_albedo(
+            cfg_, zero - 70.0, zero + 35.0, zero + 20.0, zero + 0.8,
+            zero + 0.3, time / 86400.0)
+        return {"svstr": jnp.full_like(grid_.h, 0.3 / cfg_.rho0),
+                "srflx": srflx,
+                "stflux": jnp.stack([srflx, zero])}
+
+    return cfg, grid, state0, forcing_fn

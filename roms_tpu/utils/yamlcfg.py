@@ -49,6 +49,8 @@ CASES = {
     "sed_test1": ("roms_tpu.models.cases2", "sed_test1", None),
     "shoreface": ("roms_tpu.models.cases2", "shoreface", None),
     "riverplume2": ("roms_tpu.models.cases2", "riverplume2", None),
+    "weddell": ("roms_tpu.models.cases2", "weddell", None),
+    "bl_test": ("roms_tpu.models.cases2", "bl_test", None),
 }
 
 

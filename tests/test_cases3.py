@@ -269,3 +269,18 @@ def test_iceshelf_rest_state_balance():
     ub = np.asarray(s.ubar)[H:-H, H:-H]
     assert np.abs(ub).max() < 0.3
     assert np.abs(np.asarray(s.zeta)[H:-H, H:-H]).max() < 0.5
+
+
+def test_bl_test_boundary_layer_column():
+    """BL_TEST: the northward wind over the shelf spins up an along-
+    shore current and a KPP surface boundary layer; full KPP suite
+    (incl. DDMIX) stays stable over 5 h."""
+    cfg, grid, s0, ffn = cases2.bl_test()
+    s = _run(cfg, grid, s0, ffn, 120)
+    assert _finite(s)
+    H = cfg.halo
+    hsbl = -np.asarray(s.hsbl)[H:-H, H:-H]
+    assert hsbl.mean() > 2.0            # boundary layer developed
+    vb = np.asarray(s.vbar)[H:-H, H:-H]
+    # along-shore (northward) jet over the inner shelf
+    assert vb.max() > 0.2 and vb.mean() > 0.02
