@@ -34,11 +34,14 @@ def supported(cfg: Config) -> bool:
 
 
 def use_pallas(cfg: Config) -> bool:
-    # Measured on TPU v5e at BENCHMARK1 size: the whole-array VMEM
-    # kernels run ~10-20% SLOWER than XLA's fused stencil chain for
-    # these operators (XLA already keeps the roll chain on-chip), so
-    # the fused path is opt-in via ROMS_PALLAS_HMIX=1.
-    if os.environ.get("ROMS_PALLAS_HMIX", "0") != "1":
+    # Measured on TPU v5e at BENCHMARK1 size: in an isolated scan the
+    # whole-array VMEM kernels look ~10% slower than XLA's fused
+    # stencil chain (inputs stay HBM-cache-hot there), but in the FULL
+    # step they cut the measured step time ~15% (2.59e8 -> 3.03e8
+    # pts/s): the pallas_call boundary removes XLA's rematerialized
+    # roll copies between neighbouring stages.  Default ON;
+    # ROMS_PALLAS_HMIX=0 disables.
+    if os.environ.get("ROMS_PALLAS_HMIX", "1") == "0":
         return False
     if os.environ.get("ROMS_PALLAS", "1") == "0" or not cfg.pallas2d:
         return False
