@@ -11,7 +11,9 @@ from roms_tpu.models import upwelling
 
 @pytest.fixture(scope="module")
 def setup():
-    cfg = upwelling.make_config(Lm=16, Mm=18, N=4, ndtfast=6)
+    # default ndtfast: with 1 km cells the fast CFL needs ~30 substeps
+    # (ndtfast=6 is marginal and the 4D-Var inner loop amplifies it)
+    cfg = upwelling.make_config(Lm=16, Mm=18, N=4)
     cfg, grid, s0, ffn = upwelling.build(cfg)
     return cfg, grid, s0, ffn
 
