@@ -243,8 +243,13 @@ def step(cfg: Config, grid: Grid, state: State,
         # leaves only an O(drho'/draft) residual.
         ice_load = -jnp.abs(grid.zice) * (1.0 + rho[-1] / cfg.rho0)
         eq_tide = ice_load if eq_tide is None else eq_tide + ice_load
-    ru, rv = prsgrd.prsgrd(cfg, grid, rho, z_r, z_w, Hz,
-                           eq_tide=eq_tide)
+    from .ops import prsgrd_pallas
+    if prsgrd_pallas.use_pallas(cfg):
+        ru, rv = prsgrd_pallas.prsgrd32_fused(cfg, grid, rho, z_r, z_w,
+                                              Hz, eq_tide=eq_tide)
+    else:
+        ru, rv = prsgrd.prsgrd(cfg, grid, rho, z_r, z_w, Hz,
+                               eq_tide=eq_tide)
 
     t_nnew_premix = t_nnew if collect_diags else None
     if any(x != 0.0 for x in cfg.tnu2):

@@ -40,3 +40,25 @@ def test_fused_hmix_matches_reference():
                                    "rvfrc")):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=0, atol=1e-7, err_msg=name)
+
+
+@pytest.mark.smoke
+def test_fused_prsgrd_matches_reference():
+    from roms_tpu.ops import prsgrd, prsgrd_pallas, eos
+    cfg = benchmark.make_config(Lm=24, Mm=16, N=8, ndtfast=6,
+                                dtype="float64")
+    cfg, grid, s, _ = benchmark.build(cfg)
+    hc = hc_of(cfg)
+    z_r, z_w, Hz = vgrid.set_depth(grid.h, s.zeta, hc, grid.sc_r,
+                                   grid.Cs_r, grid.sc_w, grid.Cs_w,
+                                   cfg.vtransform)
+    rho, _ = eos.rho_eos_pden(cfg, s.t, z_r)
+    for tide in (None, 0.01 * jnp.ones_like(grid.h)):
+        r1 = prsgrd.prsgrd32(cfg, grid, rho, z_r, z_w, Hz, eq_tide=tide)
+        r2 = prsgrd_pallas.prsgrd32_fused(cfg, grid, rho, z_r, z_w, Hz,
+                                          eq_tide=tide, interpret=True)
+        for a, b, name in zip(r1, r2, ("ru", "rv")):
+            scale = float(jnp.abs(a).max())
+            np.testing.assert_allclose(
+                np.asarray(b) / scale, np.asarray(a) / scale,
+                rtol=0, atol=1e-12, err_msg=name)
