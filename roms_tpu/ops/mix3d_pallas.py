@@ -47,6 +47,9 @@ def use_pallas(cfg: Config) -> bool:
         return False
     if not supported(cfg):
         return False
+    from .bc import current_ctx
+    if current_ctx() is not None:      # shard_map region: XLA path
+        return False
     if jax.default_backend() == "cpu":
         return bool(os.environ.get("ROMS_PALLAS_INTERPRET"))
     return True
@@ -62,9 +65,12 @@ def _grid_lite(pm, pn, pmask) -> SimpleNamespace:
 
 
 def _vmem_params(interpret):
+    # 119 MB of the v5e's 128 MB VMEM: whole-array kernels carry their
+    # intermediates as (spilled) vector registers, and the default
+    # 100 MB cap rejected kernels that fit the hardware
     return dict(
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=119 * 1024 * 1024),
         interpret=interpret)
 
 

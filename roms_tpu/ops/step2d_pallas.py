@@ -69,6 +69,9 @@ def use_pallas(cfg: Config, bry=None, sources=None, clm=None) -> bool:
         return False
     if not supported(cfg, bry, sources, clm):
         return False
+    from .bc import current_ctx
+    if current_ctx() is not None:      # shard_map region: XLA path
+        return False
     if jax.default_backend() == "cpu":
         return bool(os.environ.get("ROMS_PALLAS_INTERPRET"))
     return True

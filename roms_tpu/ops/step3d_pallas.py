@@ -1,0 +1,278 @@
+"""Pallas TPU kernels: fused 3-D predictor/corrector stages.
+
+Three VMEM-resident kernels covering the remaining bandwidth-bound 3-D
+pipeline of main3d (the fast loop, h-mix, prsgrd and rhs3d already have
+kernels):
+
+ * tracer_predictor_fused - the pre_step3d.F tracer loop (one kernel per
+   tracer): LF-AM3 horizontal/vertical advection of t(n) -> t3, plus the
+   t(nnew) start with surface/bottom/nonlocal/solar fluxes.
+ * uv_corrector_fused     - step3d_uv.F: AB3 update, implicit vertical
+   viscosity (statically-unrolled spline solve), barotropic-mean
+   replacement, ring corrections, mass-flux consistency.
+ * tracer_corrector_fused - the step3d_t.F tracer loop (one kernel per
+   tracer): advection of t3 + implicit vertical diffusion.
+
+All kernels reuse the exact jnp math from ops/{pre_step3d,step3d_uv,
+step3d_t}.py, substituting the statically-unrolled vertical solvers from
+ops/tridiag.py (Mosaic cannot lower lax.scan's xs slicing) and tracing
+with bc masked-writes mode (no scatter lowering).  Whole-array VMEM
+kernels: each removes XLA's HBM rematerialization of the roll/shift
+stencil chain inside its stage; granularity chosen to keep windows +
+live vector registers under the 128 MB v5e VMEM (see rhs3d_pallas.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import Config
+from ..grid import Grid
+from . import bc
+from .advection import vadv_flux
+from .bc import current_ctx
+from .mix3d_pallas import _vmem_params
+from .pre_step3d import predictor_coefs, tracer_predictor
+from .step3d_t import tracer_corrector
+from .step3d_uv import step3d_uv
+from .tridiag import (spline_interp_flux_unrolled,
+                      spline_vdiff_flux_unrolled,
+                      thomas_implicit_unrolled)
+
+_OK_SCHEMES = {"C2", "U1", "U3", "C4", "A4", "SPLINES"}
+
+
+def _vadv_unrolled(scheme, q, W, Hz, variant, z_r=None, pmn=None,
+                   dt=None):
+    """advection.vadv_flux with the SPLINES scan statically unrolled."""
+    if scheme == "SPLINES":
+        if variant == "predictor":
+            return spline_interp_flux_unrolled(Hz, q, W, 1.5, 0.5, 3.0,
+                                               2.0)
+        return spline_interp_flux_unrolled(Hz, q, W, 2.0, 1.0, 2.0, 1.0)
+    return vadv_flux(scheme, q, W, Hz, variant, z_r=z_r, pmn=pmn, dt=dt)
+
+
+def _base_ok(cfg: Config) -> bool:
+    if os.environ.get("ROMS_PALLAS_3D", "1") == "0":
+        return False
+    if os.environ.get("ROMS_PALLAS", "1") == "0" or not cfg.pallas2d:
+        return False
+    if current_ctx() is not None:      # shard_map region: XLA path
+        return False
+    if jax.default_backend() == "cpu":
+        return bool(os.environ.get("ROMS_PALLAS_INTERPRET"))
+    return True
+
+
+def use_tracer_pallas(cfg: Config, bry=None, clm=None, sources=None,
+                      want_diags=False) -> bool:
+    """Gate shared by the predictor and corrector tracer kernels."""
+    if not _base_ok(cfg):
+        return False
+    if bry is not None or clm is not None or sources is not None \
+            or want_diags:
+        return False
+    if bc.has_advanced(cfg.lbc_t):
+        return False
+    ok = all(s in _OK_SCHEMES for s in cfg.t_hadv[:cfg.ntracers]) and \
+        all(s in _OK_SCHEMES for s in cfg.t_vadv[:cfg.ntracers])
+    return ok and cfg.ntracers >= 1
+
+
+def use_uv_pallas(cfg: Config, bry=None, sources=None, wet=None) -> bool:
+    if not _base_ok(cfg):
+        return False
+    if bry is not None or sources is not None or wet is not None:
+        return False
+    return not (bc.has_advanced(cfg.lbc_u) or bc.has_advanced(cfg.lbc_v))
+
+
+# ---------------------------------------------------------------------------
+# tracer predictor (pre_step3d.F tracer loop)
+# ---------------------------------------------------------------------------
+def tracer_predictor_fused(cfg: Config, grid: Grid, iic, t, t_prev, Hz,
+                           Huon, Hvom, W, Akt, ghats=None, srflx=None,
+                           swdk_w=None, stflx=None, btflx=None,
+                           interpret: bool | None = None):
+    """Fused pre_step3d tracer phase: returns (t3, t_nnew) stacks.
+    Same contract as the tracer part of pre_step3d (sources excluded by
+    use_tracer_pallas; z_r unused because lambda=1)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    dtype = t.dtype
+    shape3 = t[0].shape
+
+    t3_list, tn_list = [], []
+    for itrc in range(cfg.ntracers):
+        coefs = jnp.stack(predictor_coefs(cfg, iic, itrc, dtype))
+        ltrc = min(1, itrc) if cfg.ntracers >= 2 else 0
+        ghats_i = ghats[itrc] if (ghats is not None
+                                  and itrc < ghats.shape[0]) else None
+        srflx_i = srflx if itrc == 0 else None
+        have_sol = srflx_i is not None and swdk_w is not None
+
+        def kernel(*refs, itrc=itrc, have_g=ghats_i is not None,
+                   have_sol=have_sol):
+            (co_r, q_r, qp_r, hz_r, huon_r, hvom_r, w_r, akt_r,
+             pm_r, pn_r, st_r, bt_r, *rest) = refs
+            g_i = rest[0][...] if have_g else None
+            rest = rest[1:] if have_g else rest
+            if have_sol:
+                sr = rest[0][...]
+                sw = rest[1][...]
+                rest = rest[2:]
+            else:
+                sr = sw = None
+            t3_o, tn_o = rest
+            coefs_k = (co_r[0], co_r[1], co_r[2], co_r[3])
+            t3_i, tn_i = tracer_predictor(
+                cfg, pm_r[...] * pn_r[...], itrc, coefs_k, q_r[...],
+                qp_r[...], hz_r[...], None, huon_r[...], hvom_r[...],
+                w_r[...], akt_r[...], g_i, sr, sw, st_r[...], bt_r[...],
+                vadv_fn=_vadv_unrolled)
+            t3_o[...] = t3_i
+            tn_o[...] = tn_i
+
+        ins = [coefs, t[itrc], t_prev[itrc], Hz, Huon, Hvom, W,
+               Akt[ltrc], grid.pm, grid.pn, stflx[itrc], btflx[itrc]]
+        if ghats_i is not None:
+            ins.append(ghats_i)
+        if have_sol:
+            ins.append(srflx_i)
+            ins.append(swdk_w)
+        bc.push_masked()
+        try:
+            t3_i, tn_i = pl.pallas_call(
+                kernel,
+                out_shape=[jax.ShapeDtypeStruct(shape3, dtype)] * 2,
+                in_specs=[smem] + [vmem] * (len(ins) - 1),
+                out_specs=[vmem] * 2,
+                **_vmem_params(interpret),
+            )(*ins)
+        finally:
+            bc.pop_masked()
+        t3_list.append(t3_i)
+        tn_list.append(tn_i)
+    return jnp.stack(t3_list, axis=0), jnp.stack(tn_list, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# momentum corrector (step3d_uv.F)
+# ---------------------------------------------------------------------------
+def uv_corrector_fused(cfg: Config, grid: Grid, iic, u_nnew, v_nnew,
+                       ru, rv, Hz_new, Akv, DU_avg1, DV_avg1, DU_avg2,
+                       DV_avg2, Huon_old, Hvom_old,
+                       interpret: bool | None = None):
+    """Fused step3d_uv; same contract (wet/bry/sources excluded by
+    use_uv_pallas).  u_nnew/v_nnew/Huon_old/Hvom_old donated."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    dtype = u_nnew.dtype
+    shape3 = u_nnew.shape
+    shape2 = DU_avg1.shape
+    iic_a = jnp.asarray(iic, jnp.int32).reshape(1)
+
+    def kernel(iic_r, un_r, vn_r, ru_r, rv_r, hz_r, akv_r,
+               du1_r, dv1_r, du2_r, dv2_r, huon_r, hvom_r,
+               pm_r, pn_r, um_r, vm_r,
+               u_o, v_o, ub_o, vb_o, huon_o, hvom_o):
+        from types import SimpleNamespace
+        pm = pm_r[...]
+        pn = pn_r[...]
+        g = SimpleNamespace(
+            pm=pm, pn=pn, umask=um_r[...], vmask=vm_r[...],
+            on_u=2.0 / (jnp.roll(pn, 1, -1) + pn),
+            om_v=2.0 / (jnp.roll(pm, 1, -2) + pm))
+        u, v, ubar, vbar, Huon, Hvom = step3d_uv(
+            cfg, g, iic_r[0], un_r[...], vn_r[...], ru_r[...],
+            rv_r[...], hz_r[...], akv_r[...], du1_r[...], dv1_r[...],
+            du2_r[...], dv2_r[...], huon_r[...], hvom_r[...],
+            spline_fn=spline_vdiff_flux_unrolled)
+        u_o[...] = u
+        v_o[...] = v
+        ub_o[...] = ubar
+        vb_o[...] = vbar
+        huon_o[...] = Huon
+        hvom_o[...] = Hvom
+
+    ins = [iic_a, u_nnew, v_nnew, ru, rv, Hz_new, Akv,
+           DU_avg1, DV_avg1, DU_avg2, DV_avg2, Huon_old, Hvom_old,
+           grid.pm, grid.pn, grid.umask, grid.vmask]
+    bc.push_masked()
+    try:
+        return pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct(shape3, dtype)] * 2 +
+                      [jax.ShapeDtypeStruct(shape2, dtype)] * 2 +
+                      [jax.ShapeDtypeStruct(shape3, dtype)] * 2,
+            in_specs=[smem] + [vmem] * (len(ins) - 1),
+            out_specs=[vmem] * 6,
+            input_output_aliases={1: 0, 2: 1, 11: 4, 12: 5},
+            **_vmem_params(interpret),
+        )(*ins)
+    finally:
+        bc.pop_masked()
+
+
+# ---------------------------------------------------------------------------
+# tracer corrector (step3d_t.F tracer loop)
+# ---------------------------------------------------------------------------
+def tracer_corrector_fused(cfg: Config, grid: Grid, t_nnew, t3, Huon,
+                           Hvom, W, Hz_new, z_r_new, Akt,
+                           interpret: bool | None = None):
+    """Fused step3d_t (non-MPDATA schemes): returns the updated tracer
+    stack.  Same contract as step3d_t with bry/clm/sources None."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    dtype = t_nnew.dtype
+    shape3 = t_nnew[0].shape
+    need_zr = not cfg.splines_vdiff or any(
+        s == "SPLINES" for s in cfg.t_vadv[:cfg.ntracers])
+
+    out = []
+    for itrc in range(cfg.ntracers):
+        ltrc = min(1, itrc) if cfg.ntracers >= 2 else 0
+
+        def kernel(*refs, itrc=itrc):
+            (tn_r, t3_r, huon_r, hvom_r, w_r, hz_r, akt_r,
+             pm_r, pn_r, *rest) = refs
+            zr = rest[0][...] if need_zr else None
+            rest = rest[1:] if need_zr else rest
+            (t_o,) = rest
+            Hz_ = hz_r[...]
+            t_o[...] = tracer_corrector(
+                cfg, None, pm_r[...] * pn_r[...], itrc, tn_r[...],
+                t3_r[...], huon_r[...], hvom_r[...], w_r[...], Hz_,
+                zr, 1.0 / Hz_, akt_r[...],
+                spline_fn=spline_vdiff_flux_unrolled,
+                thomas_fn=thomas_implicit_unrolled,
+                vadv_fn=_vadv_unrolled)
+
+        ins = [t_nnew[itrc], t3[itrc], Huon, Hvom, W, Hz_new,
+               Akt[ltrc], grid.pm, grid.pn]
+        if need_zr:
+            ins.append(z_r_new)
+        bc.push_masked()
+        try:
+            out.append(pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct(shape3, dtype),
+                in_specs=[vmem] * len(ins),
+                out_specs=vmem,
+                input_output_aliases={0: 0},
+                **_vmem_params(interpret),
+            )(*ins))
+        finally:
+            bc.pop_masked()
+    return jnp.stack(out, axis=0)

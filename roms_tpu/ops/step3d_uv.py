@@ -26,7 +26,7 @@ from .tridiag import spline_vdiff_flux
 def step3d_uv(cfg: Config, grid: Grid, iic, u_nnew, v_nnew, ru, rv,
               Hz_new, Akv, DU_avg1, DV_avg1, DU_avg2, DV_avg2,
               Huon_old, Hvom_old, u_old=None, v_old=None, bry=None,
-              sources=None, z_w_new=None, wet=None):
+              sources=None, z_w_new=None, wet=None, spline_fn=None):
     """Returns (u, v, ubar, vbar, Huon, Hvom), all halo-filled."""
     dt = cfg.dt
     pm, pn = grid.pm, grid.pn
@@ -45,7 +45,7 @@ def step3d_uv(cfg: Config, grid: Grid, iic, u_nnew, v_nnew, ru, rv,
     DC0 = cff * (pm + im1(pm)) * (pn + im1(pn))
     u = (u_nnew + DC0 * ru) * oHz_u
     if cfg.splines_vvisc:
-        flux = spline_vdiff_flux(dt, Hzk_u, oHz_u, AKu, u)
+        flux = (spline_fn or spline_vdiff_flux)(dt, Hzk_u, oHz_u, AKu, u)
         u = u + dt * oHz_u * (flux[1:] - flux[:-1])
     # interior vertical-mean replacement (step3d_uv.F:466-560)
     CF0 = jnp.sum(Hzk_u, axis=0)
@@ -62,7 +62,8 @@ def step3d_uv(cfg: Config, grid: Grid, iic, u_nnew, v_nnew, ru, rv,
     DC0v = cff * (pm + jm1(pm)) * (pn + jm1(pn))
     v = (v_nnew + DC0v * rv) * oHz_v
     if cfg.splines_vvisc:
-        flux = spline_vdiff_flux(dt, Hzk_v, oHz_v, AKv_, v)
+        flux = (spline_fn or spline_vdiff_flux)(dt, Hzk_v, oHz_v, AKv_,
+                                                v)
         v = v + dt * oHz_v * (flux[1:] - flux[:-1])
     CF0v = jnp.sum(Hzk_v, axis=0)
     DCmv = jnp.sum(v * Hzk_v, axis=0)

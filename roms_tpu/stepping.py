@@ -219,13 +219,36 @@ def step(cfg: Config, grid: Grid, state: State,
 
     # --- rhs3d phase (main3d.F:563): pre_step3d, prsgrd, t3dmix, rhs,
     #     uv3dmix ---
-    t3, t_nnew, u_nnew, v_nnew = pre_step3d(
-        cfg, grid, state.iic, state.t, state.t_prev, state.u, state.v,
-        Hz, z_r, Huon, Hvom, W, Akt,
-        sustr, svstr, bustr, bvstr, stflx, btflx,
-        state.ru_prev, state.ru_prev2, state.rv_prev, state.rv_prev2,
-        srflx=srflx, ghats=ghats, swdk_w=swdk_w,
-        sources=frc.get("sources", None))
+    from .ops import rhs3d_pallas, step3d_pallas
+    clm = frc.get("clm", None)
+    bry = frc.get("bry", None)
+    sources = frc.get("sources", None)
+    rhs_fused = rhs3d_pallas.use_pallas(cfg, clm=clm,
+                                        want_diags=collect_diags)
+    tr_fused = step3d_pallas.use_tracer_pallas(
+        cfg, bry=bry, clm=clm, sources=sources,
+        want_diags=collect_diags)
+    if tr_fused:
+        t3, t_nnew = step3d_pallas.tracer_predictor_fused(
+            cfg, grid, state.iic, state.t, state.t_prev, Hz, Huon,
+            Hvom, W, Akt, ghats=ghats, srflx=srflx, swdk_w=swdk_w,
+            stflx=stflx, btflx=btflx)
+        u_nnew = v_nnew = None
+        if not rhs_fused:
+            from .ops.pre_step3d import ab3_start_coefs, momentum_init
+            a1, a2 = ab3_start_coefs(state.iic, dtype)
+            u_nnew, v_nnew = momentum_init(
+                cfg, grid.pm, grid.pn, a1, a2, state.u, state.v, Hz,
+                state.ru_prev, state.ru_prev2, state.rv_prev,
+                state.rv_prev2, sustr, svstr, bustr, bvstr)
+    else:
+        t3, t_nnew, u_nnew, v_nnew = pre_step3d(
+            cfg, grid, state.iic, state.t, state.t_prev, state.u,
+            state.v, Hz, z_r, Huon, Hvom, W, Akt,
+            sustr, svstr, bustr, bvstr, stflx, btflx,
+            state.ru_prev, state.ru_prev2, state.rv_prev,
+            state.rv_prev2, srflx=srflx, ghats=ghats, swdk_w=swdk_w,
+            sources=sources, momentum=not rhs_fused)
 
     eq_tide = None
     if cfg.tide_gen_forces:
@@ -243,13 +266,24 @@ def step(cfg: Config, grid: Grid, state: State,
         # leaves only an O(drho'/draft) residual.
         ice_load = -jnp.abs(grid.zice) * (1.0 + rho[-1] / cfg.rho0)
         eq_tide = ice_load if eq_tide is None else eq_tide + ice_load
-    from .ops import prsgrd_pallas
-    if prsgrd_pallas.use_pallas(cfg):
-        ru, rv = prsgrd_pallas.prsgrd32_fused(cfg, grid, rho, z_r, z_w,
-                                              Hz, eq_tide=eq_tide)
+    if rhs_fused:
+        # fused momentum phase: pre_step3d momentum start + prsgrd32 +
+        # rhs3d + uv3dmix2 in one VMEM kernel (ops/rhs3d_pallas.py)
+        u_nnew, v_nnew, ru, rv, rufrc, rvfrc = \
+            rhs3d_pallas.momentum_rhs_fused(
+                cfg, grid, state.iic, state.u, state.v, Hz, z_r, z_w,
+                rho, Huon, Hvom, W, state.ru_prev, state.ru_prev2,
+                state.rv_prev, state.rv_prev2, sustr, svstr, bustr,
+                bvstr, eq_tide=eq_tide)
     else:
-        ru, rv = prsgrd.prsgrd(cfg, grid, rho, z_r, z_w, Hz,
-                               eq_tide=eq_tide)
+        from .ops import prsgrd_pallas
+        if prsgrd_pallas.use_pallas(cfg):
+            ru, rv = prsgrd_pallas.prsgrd32_fused(cfg, grid, rho, z_r,
+                                                  z_w, Hz,
+                                                  eq_tide=eq_tide)
+        else:
+            ru, rv = prsgrd.prsgrd(cfg, grid, rho, z_r, z_w, Hz,
+                                   eq_tide=eq_tide)
 
     t_nnew_premix = t_nnew if collect_diags else None
     if any(x != 0.0 for x in cfg.tnu2):
@@ -276,16 +310,17 @@ def step(cfg: Config, grid: Grid, state: State,
         else:
             t_nnew = t3dmix4(cfg, grid, state.t, Hz, t_nnew, cfg.dt)
 
-    clm = frc.get("clm", None)
     ru_prs, rv_prs = (ru, rv) if collect_diags else (None, None)
     uv_nnew_pre = (u_nnew, v_nnew) if collect_diags else None
-    res3d = rhs3d_momentum(
-        cfg, grid, state.u, state.v, Huon, Hvom, W, Hz, ru, rv,
-        sustr, svstr, bustr, bvstr, clm=clm, want_diags=collect_diags)
-    if collect_diags:
-        ru, rv, rufrc, rvfrc, dia_rhs = res3d
-    else:
-        ru, rv, rufrc, rvfrc = res3d
+    if not rhs_fused:
+        res3d = rhs3d_momentum(
+            cfg, grid, state.u, state.v, Huon, Hvom, W, Hz, ru, rv,
+            sustr, svstr, bustr, bvstr, clm=clm,
+            want_diags=collect_diags)
+        if collect_diags:
+            ru, rv, rufrc, rvfrc, dia_rhs = res3d
+        else:
+            ru, rv, rufrc, rvfrc = res3d
 
     # --- wave radiation-stress body force (main3d's radiation_stress
     #     call; ops/nearshore.py Mellor05).  Applied to ru/rv like the
@@ -297,7 +332,7 @@ def step(cfg: Config, grid: Grid, state: State,
         rufrc = rufrc - ns.rustr2d
         rvfrc = rvfrc - ns.rvstr2d
 
-    if cfg.uv_vis2 and cfg.visc2 != 0.0:
+    if cfg.uv_vis2 and cfg.visc2 != 0.0 and not rhs_fused:
         if cfg.uv_mix_geo:
             u_nnew, v_nnew, rufrc, rvfrc = uv3dmix2_geo(
                 cfg, grid, state.u, state.v, Hz, z_r, u_nnew, v_nnew,
@@ -341,8 +376,6 @@ def step(cfg: Config, grid: Grid, state: State,
         rvbar_n=state.rvbar, rvbar_nm1=zero2,
         Zt_avg1=zero2, DU_avg1=zero2, DV_avg1=zero2,
         DU_avg2=zero2, DV_avg2=zero2)
-    bry = frc.get("bry", None)
-    sources = frc.get("sources", None)
     from .ops import step2d_pallas
     if step2d_pallas.use_pallas(cfg, bry, sources, clm):
         fs, rufrc_c, rvfrc_c, wet = step2d_pallas.fast_loop_fused(
@@ -377,11 +410,18 @@ def step(cfg: Config, grid: Grid, state: State,
     if ns is not None:
         DU2_t = DU2_t - us2d[0]
         DV2_t = DV2_t - us2d[1]
-    u2, v2, ubar2, vbar2, Huon2, Hvom2 = step3d_uv(
-        cfg, grid, state.iic, u_nnew, v_nnew, ru, rv, Hz2, Akv,
-        fs.DU_avg1, fs.DV_avg1, DU2_t, DV2_t, Huon, Hvom,
-        u_old=state.u, v_old=state.v, bry=bry, sources=sources,
-        z_w_new=z_w2, wet=wet)
+    if step3d_pallas.use_uv_pallas(cfg, bry=bry, sources=sources,
+                                   wet=wet):
+        u2, v2, ubar2, vbar2, Huon2, Hvom2 = \
+            step3d_pallas.uv_corrector_fused(
+                cfg, grid, state.iic, u_nnew, v_nnew, ru, rv, Hz2,
+                Akv, fs.DU_avg1, fs.DV_avg1, DU2_t, DV2_t, Huon, Hvom)
+    else:
+        u2, v2, ubar2, vbar2, Huon2, Hvom2 = step3d_uv(
+            cfg, grid, state.iic, u_nnew, v_nnew, ru, rv, Hz2, Akv,
+            fs.DU_avg1, fs.DV_avg1, DU2_t, DV2_t, Huon, Hvom,
+            u_old=state.u, v_old=state.v, bry=bry, sources=sources,
+            z_w_new=z_w2, wet=wet)
     if ns is not None:
         # tracer advection and omega see the total transport; the 3-D
         # Stokes flux keeps the u_stokes profile but its column sum is
@@ -465,14 +505,19 @@ def step(cfg: Config, grid: Grid, state: State,
             sustr, svstr, bustr, bvstr, Hwave=frc.get("Hwave"))
 
     # --- tracer corrector (main3d.F:814) ---
-    res = step3d_t(cfg, grid, state.iic, t_nnew, t3, Huon2, Hvom2, W2,
-                   Hz2, z_r2, Akt, t_old=state.t, bry=bry, clm=clm,
-                   sources=sources, want_diags=collect_diags)
-    if collect_diags:
-        t2, dia_ts = res
-        dia_ts["hdiff"] = (t_nnew - t_nnew_premix) / Hz2
+    if tr_fused:
+        t2 = step3d_pallas.tracer_corrector_fused(
+            cfg, grid, t_nnew, t3, Huon2, Hvom2, W2, Hz2, z_r2, Akt)
     else:
-        t2 = res
+        res = step3d_t(cfg, grid, state.iic, t_nnew, t3, Huon2, Hvom2,
+                       W2, Hz2, z_r2, Akt, t_old=state.t, bry=bry,
+                       clm=clm, sources=sources,
+                       want_diags=collect_diags)
+        if collect_diags:
+            t2, dia_ts = res
+            dia_ts["hdiff"] = (t_nnew - t_nnew_premix) / Hz2
+        else:
+            t2 = res
 
     # --- mean-age inert tracer pairs (AGE_MEAN; step3d_t.F:1507-1539):
     #     age concentration forced by the conservative partner ---
