@@ -21,7 +21,9 @@ GADV = -0.25
 
 def rhs3d_momentum(cfg: Config, grid: Grid, u, v, Huon, Hvom, W, Hz,
                    ru, rv, sustr, svstr, bustr, bvstr, clm=None,
-                   want_diags: bool = False, parts: str = "uv"):
+                   want_diags: bool = False, parts: str = "uv",
+                   pieces=("cor", "curv", "hadv", "vadv", "clm",
+                           "bodyforce", "frc")):
     """want_diags (DIAGNOSTICS_UV; mod_diags.F DiaRU/DiaRV): also return a
     dict of the per-term rhs contributions (same units as ru/rv) with keys
     cor/xadv/yadv/vadv, each an (N,Ny,Nx) pair (term_u, term_v).  The
@@ -31,12 +33,17 @@ def rhs3d_momentum(cfg: Config, grid: Grid, u, v, Huon, Hvom, W, Hz,
     parts: "uv" (default) computes both directions; "u"/"v" computes one
     and returns (r, rfrc) for it - used by the fused Pallas kernels
     (ops/rhs3d_pallas.py), which split the directions to fit the
-    whole-array intermediates in VMEM."""
+    whole-array intermediates in VMEM.  pieces further restricts which
+    physics blocks run (same accumulation order, so chaining
+    ("cor","curv","hadv") then ("vadv","frc") is bit-identical to one
+    full call); "frc" is the vertical integral + stress difference
+    (returns rfrc; without it the single-direction return is r only)."""
     H = cfg.halo
     L, M = cfg.Lm, cfg.Mm
     dia = {} if want_diags else None
     do_u = "u" in parts
     do_v = "v" in parts
+    pieces = set(pieces)
 
     def _rec(key, term_u, term_v):
         if want_diags:
@@ -44,7 +51,7 @@ def rhs3d_momentum(cfg: Config, grid: Grid, u, v, Huon, Hvom, W, Hz,
 
     # ---- Coriolis (rhs3d.F:181-207) ----
     cor_u = cor_v = 0.0
-    if cfg.uv_cor:
+    if cfg.uv_cor and "cor" in pieces:
         cor = 0.5 * Hz * grid.fomn
         if do_u:
             UFx = cor * (v + jp1(v))
@@ -56,7 +63,7 @@ def rhs3d_momentum(cfg: Config, grid: Grid, u, v, Huon, Hvom, W, Hz,
             rv = rv + cor_v
 
     # ---- curvilinear metric advection terms (rhs3d.F CURVGRID) ----
-    if cfg.curvgrid and cfg.uv_adv:
+    if cfg.curvgrid and cfg.uv_adv and "curv" in pieces:
         cff = 0.5 * (v + jp1(v)) * grid.dndx - \
             0.5 * (u + ip1(u)) * grid.dmde
         if do_u:
@@ -76,8 +83,8 @@ def rhs3d_momentum(cfg: Config, grid: Grid, u, v, Huon, Hvom, W, Hz,
     if cfg.uv_adv:
         # ---- U3 horizontal advection (rhs3d.F:244-430) ----
         c1, c2 = 9.0 / 16.0, 1.0 / 16.0
-        N = u.shape[0]
-        if do_u:
+        N = (u if do_u else v).shape[0]
+        if do_u and "hadv" in pieces:
             uxx = im1(u) - 2.0 * u + ip1(u)
             Huxx = im1(Huon) - 2.0 * Huon + ip1(Huon)
             uxx = bc.extrap_west(cfg, uxx, H)
@@ -103,6 +110,7 @@ def rhs3d_momentum(cfg: Config, grid: Grid, u, v, Huon, Hvom, W, Hz,
             yadv_u = -(jp1(UFe) - UFe)
             ru = ru + xadv_u + yadv_u
 
+        if do_u and "vadv" in pieces:
             # ---- 4th-order vertical advection (rhs3d.F:433-520) ----
             Wu = c1 * (W + im1(W)) - c2 * (ip1(W) + shift2w(W))
             # interior k=2..N-2
@@ -116,7 +124,7 @@ def rhs3d_momentum(cfg: Config, grid: Grid, u, v, Huon, Hvom, W, Hz,
                                   axis=0)
             vadv_u = -(FCu[1:] - FCu[:-1])
             ru = ru + vadv_u
-        if do_v:
+        if do_v and "hadv" in pieces:
             vxx = im1(v) - 2.0 * v + ip1(v)
             vxx = bc.extrap_west(cfg, vxx, H - 1)
             vxx = bc.extrap_east(cfg, vxx, H + L)
@@ -142,6 +150,7 @@ def rhs3d_momentum(cfg: Config, grid: Grid, u, v, Huon, Hvom, W, Hz,
             yadv_v = -(VFe - jm1(VFe))
             rv = rv + xadv_v + yadv_v
 
+        if do_v and "vadv" in pieces:
             Wv = c1 * (W + jm1(W)) - c2 * (jp1(W) + shift2s(W))
             flux_int = (c1 * (v[1:-2] + v[2:-1]) -
                         c2 * (v[:-3] + v[3:])) * Wv[2:-2]
@@ -164,7 +173,7 @@ def rhs3d_momentum(cfg: Config, grid: Grid, u, v, Huon, Hvom, W, Hz,
             _rec(key, zero3, zero3v)
 
     # ---- nudging toward 3-D momentum climatology (rhs3d.F:211-241) ----
-    if clm is not None and "uclm" in clm:
+    if clm is not None and "uclm" in clm and "clm" in pieces:
         nudg = clm.get("m3nudg", 0.0)
         if do_u:
             area_u = grid.om_u * grid.on_u
@@ -177,7 +186,7 @@ def rhs3d_momentum(cfg: Config, grid: Grid, u, v, Huon, Hvom, W, Hz,
 
     # ---- BODYFORCE: stresses as body forces over the surface/bottom
     # level ranges instead of boundary fluxes (rhs3d.F:326-470) ----
-    if cfg.bodyforce:
+    if cfg.bodyforce and "bodyforce" in pieces:
         pm, pn = grid.pm, grid.pn
         N = cfg.N
         ks = cfg.levsfrc - 1                 # surface levels ks..N-1
@@ -202,18 +211,19 @@ def rhs3d_momentum(cfg: Config, grid: Grid, u, v, Huon, Hvom, W, Hz,
                 jnp.where(kmask_b, Vwrk_b[None] * Hz_v, 0.0)
 
     # ---- vertical integral -> barotropic forcing (rhs3d.F:523-559) ----
-    if do_u:
-        rufrc = jnp.sum(ru, axis=0)
-        if not cfg.bodyforce:
-            rufrc = rufrc + (sustr - bustr) * grid.om_u * grid.on_u
-    if do_v:
-        rvfrc = jnp.sum(rv, axis=0)
-        if not cfg.bodyforce:
-            rvfrc = rvfrc + (svstr - bvstr) * grid.om_v * grid.on_v
+    if "frc" in pieces:
+        if do_u:
+            rufrc = jnp.sum(ru, axis=0)
+            if not cfg.bodyforce:
+                rufrc = rufrc + (sustr - bustr) * grid.om_u * grid.on_u
+        if do_v:
+            rvfrc = jnp.sum(rv, axis=0)
+            if not cfg.bodyforce:
+                rvfrc = rvfrc + (svstr - bvstr) * grid.om_v * grid.on_v
     if parts == "u":
-        return ru, rufrc
+        return (ru, rufrc) if "frc" in pieces else ru
     if parts == "v":
-        return rv, rvfrc
+        return (rv, rvfrc) if "frc" in pieces else rv
     if want_diags:
         return ru, rv, rufrc, rvfrc, dia
     return ru, rv, rufrc, rvfrc

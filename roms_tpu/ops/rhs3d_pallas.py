@@ -73,45 +73,75 @@ def rhs3d_fused(cfg: Config, grid, u, v, Huon, Hvom, W, Hz, ru, rv,
     shape3 = u.shape
     shape2 = sustr.shape
 
-    def make_kernel(part):
-        def kernel(u_r, v_r, huon_r, hvom_r, w_r, hz_r, r_r,
-                   sstr_r, bstr_r, pm_r, pn_r, fomn_r, dndx_r,
-                   dmde_r, r_o, rfrc_o):
+    def make_h_kernel(part):
+        # stage 1: Coriolis + curvilinear + U3 horizontal advection
+        def kernel(u_r, v_r, huon_r, hvom_r, hz_r, r_r,
+                   pm_r, pn_r, fomn_r, dndx_r, dmde_r, r_o):
             g = _metrics(pm_r[...], pn_r[...], None, fomn_r[...],
                          dndx_r[...], dmde_r[...])
-            if part == "u":
-                args = (r_r[...], None, sstr_r[...], None,
-                        bstr_r[...], None)
-            else:
-                args = (None, r_r[...], None, sstr_r[...],
-                        None, bstr_r[...])
-            r2, rfrc = _rhs3d.rhs3d_momentum(
+            r_in = r_r[...]
+            r_o[...] = _rhs3d.rhs3d_momentum(
                 cfg, g, u_r[...], v_r[...], huon_r[...], hvom_r[...],
-                w_r[...], hz_r[...], args[0], args[1], args[2],
-                args[3], args[4], args[5], parts=part)
+                None, hz_r[...],
+                r_in if part == "u" else None,
+                r_in if part == "v" else None,
+                None, None, None, None, parts=part,
+                pieces=("cor", "curv", "hadv"))
+        return kernel
+
+    def make_v_kernel(part):
+        # stage 2: 4th-order vertical advection + barotropic integral +
+        # stress difference (+ clm/bodyforce, excluded by use_pallas)
+        def kernel(vel_r, w_r, hz_r, r_r, sstr_r, bstr_r,
+                   pm_r, pn_r, r_o, rfrc_o):
+            g = _metrics(pm_r[...], pn_r[...], None, None, None, None)
+            r_in = r_r[...]
+            sstr = sstr_r[...]
+            bstr = bstr_r[...]
+            r2, rfrc = _rhs3d.rhs3d_momentum(
+                cfg, g,
+                vel_r[...] if part == "u" else None,
+                vel_r[...] if part == "v" else None,
+                None, None, w_r[...], hz_r[...],
+                r_in if part == "u" else None,
+                r_in if part == "v" else None,
+                sstr if part == "u" else None,
+                sstr if part == "v" else None,
+                bstr if part == "u" else None,
+                bstr if part == "v" else None,
+                parts=part, pieces=("vadv", "bodyforce", "frc"))
             r_o[...] = r2
             rfrc_o[...] = rfrc
         return kernel
 
-    def run(part, r, sstr, bstr):
-        ins = [u, v, Huon, Hvom, W, Hz, r, sstr, bstr,
-               grid.pm, grid.pn, grid.fomn, grid.dndx, grid.dmde]
+    def run(part, vel, r, sstr, bstr):
         bc.push_masked()   # edge extrapolations as where-masks
         try:
+            ins = [u, v, Huon, Hvom, Hz, r, grid.pm, grid.pn,
+                   grid.fomn, grid.dndx, grid.dmde]
+            r = pl.pallas_call(
+                make_h_kernel(part),
+                out_shape=jax.ShapeDtypeStruct(shape3, dtype),
+                in_specs=[vmem] * len(ins),
+                out_specs=vmem,
+                input_output_aliases={5: 0},
+                **_vmem_params(interpret),
+            )(*ins)
+            ins = [vel, W, Hz, r, sstr, bstr, grid.pm, grid.pn]
             return pl.pallas_call(
-                make_kernel(part),
+                make_v_kernel(part),
                 out_shape=[jax.ShapeDtypeStruct(shape3, dtype),
                            jax.ShapeDtypeStruct(shape2, dtype)],
                 in_specs=[vmem] * len(ins),
                 out_specs=[vmem] * 2,
-                input_output_aliases={6: 0},
+                input_output_aliases={3: 0},
                 **_vmem_params(interpret),
             )(*ins)
         finally:
             bc.pop_masked()
 
-    ru2, rufrc = run("u", ru, sustr, bustr)
-    rv2, rvfrc = run("v", rv, svstr, bvstr)
+    ru2, rufrc = run("u", u, ru, sustr, bustr)
+    rv2, rvfrc = run("v", v, rv, svstr, bvstr)
     return ru2, rv2, rufrc, rvfrc
 
 

@@ -182,46 +182,67 @@ def uv_corrector_fused(cfg: Config, grid: Grid, iic, u_nnew, v_nnew,
     shape2 = DU_avg1.shape
     iic_a = jnp.asarray(iic, jnp.int32).reshape(1)
 
-    def kernel(iic_r, un_r, vn_r, ru_r, rv_r, hz_r, akv_r,
-               du1_r, dv1_r, du2_r, dv2_r, huon_r, hvom_r,
-               pm_r, pn_r, um_r, vm_r,
-               u_o, v_o, ub_o, vb_o, huon_o, hvom_o):
-        from types import SimpleNamespace
-        pm = pm_r[...]
-        pn = pn_r[...]
-        g = SimpleNamespace(
-            pm=pm, pn=pn, umask=um_r[...], vmask=vm_r[...],
-            on_u=2.0 / (jnp.roll(pn, 1, -1) + pn),
-            om_v=2.0 / (jnp.roll(pm, 1, -2) + pm))
-        u, v, ubar, vbar, Huon, Hvom = step3d_uv(
-            cfg, g, iic_r[0], un_r[...], vn_r[...], ru_r[...],
-            rv_r[...], hz_r[...], akv_r[...], du1_r[...], dv1_r[...],
-            du2_r[...], dv2_r[...], huon_r[...], hvom_r[...],
-            spline_fn=spline_vdiff_flux_unrolled)
-        u_o[...] = u
-        v_o[...] = v
-        ub_o[...] = ubar
-        vb_o[...] = vbar
-        huon_o[...] = Huon
-        hvom_o[...] = Hvom
+    def make_kernel(part):
+        # one direction per kernel: both at once spilled ~126 MB of
+        # whole-array vector registers past the 128 MB v5e VMEM
+        def kernel(iic_r, vn_r, r_r, hz_r, akv_r, d1_r, d2_r,
+                   flx_r, pm_r, pn_r, msk_r, v_o, vb_o, flx_o):
+            from types import SimpleNamespace
+            pm = pm_r[...]
+            pn = pn_r[...]
+            g = SimpleNamespace(
+                pm=pm, pn=pn,
+                umask=msk_r[...], vmask=msk_r[...],
+                on_u=2.0 / (jnp.roll(pn, 1, -1) + pn),
+                om_v=2.0 / (jnp.roll(pm, 1, -2) + pm))
+            vn = vn_r[...]
+            r = r_r[...]
+            d1 = d1_r[...]
+            d2 = d2_r[...]
+            args = dict(u_nnew=vn if part == "u" else None,
+                        v_nnew=vn if part == "v" else None,
+                        ru=r if part == "u" else None,
+                        rv=r if part == "v" else None,
+                        DU_avg1=d1 if part == "u" else None,
+                        DV_avg1=d1 if part == "v" else None,
+                        DU_avg2=d2 if part == "u" else None,
+                        DV_avg2=d2 if part == "v" else None,
+                        Huon_old=flx_r[...] if part == "u" else None,
+                        Hvom_old=flx_r[...] if part == "v" else None)
+            vel, vbar2, flx = step3d_uv(
+                cfg, g, iic_r[0], args["u_nnew"], args["v_nnew"],
+                args["ru"], args["rv"], hz_r[...], akv_r[...],
+                args["DU_avg1"], args["DV_avg1"], args["DU_avg2"],
+                args["DV_avg2"], args["Huon_old"], args["Hvom_old"],
+                spline_fn=spline_vdiff_flux_unrolled, parts=part)
+            v_o[...] = vel
+            vb_o[...] = vbar2
+            flx_o[...] = flx
+        return kernel
 
-    ins = [iic_a, u_nnew, v_nnew, ru, rv, Hz_new, Akv,
-           DU_avg1, DV_avg1, DU_avg2, DV_avg2, Huon_old, Hvom_old,
-           grid.pm, grid.pn, grid.umask, grid.vmask]
-    bc.push_masked()
-    try:
-        return pl.pallas_call(
-            kernel,
-            out_shape=[jax.ShapeDtypeStruct(shape3, dtype)] * 2 +
-                      [jax.ShapeDtypeStruct(shape2, dtype)] * 2 +
-                      [jax.ShapeDtypeStruct(shape3, dtype)] * 2,
-            in_specs=[smem] + [vmem] * (len(ins) - 1),
-            out_specs=[vmem] * 6,
-            input_output_aliases={1: 0, 2: 1, 11: 4, 12: 5},
-            **_vmem_params(interpret),
-        )(*ins)
-    finally:
-        bc.pop_masked()
+    def run(part, vn, r, d1, d2, flx, mask):
+        ins = [iic_a, vn, r, Hz_new, Akv, d1, d2, flx,
+               grid.pm, grid.pn, mask]
+        bc.push_masked()
+        try:
+            return pl.pallas_call(
+                make_kernel(part),
+                out_shape=[jax.ShapeDtypeStruct(shape3, dtype),
+                           jax.ShapeDtypeStruct(shape2, dtype),
+                           jax.ShapeDtypeStruct(shape3, dtype)],
+                in_specs=[smem] + [vmem] * (len(ins) - 1),
+                out_specs=[vmem] * 3,
+                input_output_aliases={1: 0, 7: 2},
+                **_vmem_params(interpret),
+            )(*ins)
+        finally:
+            bc.pop_masked()
+
+    u, ubar, Huon = run("u", u_nnew, ru, DU_avg1, DU_avg2, Huon_old,
+                        grid.umask)
+    v, vbar, Hvom = run("v", v_nnew, rv, DV_avg1, DV_avg2, Hvom_old,
+                        grid.vmask)
+    return u, v, ubar, vbar, Huon, Hvom
 
 
 # ---------------------------------------------------------------------------
