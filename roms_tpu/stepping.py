@@ -127,13 +127,30 @@ def step(cfg: Config, grid: Grid, state: State,
         grid = grid.replace(h=grid.h - dh_bed)
 
     # --- vertical grid and mass fluxes at time n (main3d.F:307) ---
-    z_r, z_w, Hz = vgrid.set_depth(grid.h, state.zeta, hc, grid.sc_r,
-                                   grid.Cs_r, grid.sc_w, grid.Cs_w,
-                                   cfg.vtransform, zice=grid.zice)
-    Huon, Hvom = set_massflux(cfg, grid, state.u, state.v, Hz)
+    from .ops import diag_pallas
+    ns_active = cfg.nearshore == "mellor05" and "Hwave" in frc
+    diag_fused = (diag_pallas.use_pallas(cfg) and grid.zice is None
+                  and not ns_active)
+    bvf = None
+    if diag_fused:
+        z_r, z_w, Hz, Huon, Hvom, W = diag_pallas.grid_flux_fused(
+            cfg, grid, state.zeta, state.u, state.v, hc)
+        want_bvf = cfg.vmix in ("kpp", "bvf")
+        res_eos = diag_pallas.eos_fused(cfg, state.t, z_r, z_w,
+                                        want_bvf)
+        if want_bvf:
+            rho, pden, bvf = res_eos
+        else:
+            rho, pden = res_eos
+    else:
+        z_r, z_w, Hz = vgrid.set_depth(grid.h, state.zeta, hc,
+                                       grid.sc_r, grid.Cs_r, grid.sc_w,
+                                       grid.Cs_w, cfg.vtransform,
+                                       zice=grid.zice)
+        Huon, Hvom = set_massflux(cfg, grid, state.u, state.v, Hz)
 
-    # --- density (main3d.F:314) ---
-    rho, pden = eos.rho_eos_pden(cfg, state.t, z_r)
+        # --- density (main3d.F:314) ---
+        rho, pden = eos.rho_eos_pden(cfg, state.t, z_r)
 
     # --- wave radiation stresses + Stokes drift (main3d's
     #     radiation_stress call; ops/nearshore.py Mellor05) ---
@@ -198,7 +215,8 @@ def step(cfg: Config, grid: Grid, state: State,
     ghats = None
     swdk_w = None
     if cfg.vmix == "kpp":
-        bvf = eos.brunt_vaisala(cfg, state.t, z_r, z_w)
+        if bvf is None:
+            bvf = eos.brunt_vaisala(cfg, state.t, z_r, z_w)
         srf = srflx if srflx is not None else zero2
         Akv, Akt, hsbl, hbbl, ghats = vmix.lmd_vmix(
             cfg, grid, state.u, state.v, state.t, rho, pden, bvf,
@@ -207,15 +225,18 @@ def step(cfg: Config, grid: Grid, state: State,
         if srflx is not None:
             swdk_w = vmix.swfrac(z_w[-1][None] - z_w)
     elif cfg.vmix == "bvf":
-        bvf = eos.brunt_vaisala(cfg, state.t, z_r, z_w)
+        if bvf is None:
+            bvf = eos.brunt_vaisala(cfg, state.t, z_r, z_w)
         Akv, Akt = vmix.bvf_mix(cfg, bvf)
     else:
         # "gls" keeps last step's coefficients here; gls_corstep updates
         # them after the momentum corrector (main3d.F:791)
         Akv, Akt = state.Akv, state.Akt
 
-    # --- omega at time n (main3d.F:474) ---
-    W = omega(cfg, grid, Huon, Hvom, z_w)
+    # --- omega at time n (main3d.F:474; computed inside the fused
+    #     diag kernel when active - identical, ns excluded there) ---
+    if not diag_fused:
+        W = omega(cfg, grid, Huon, Hvom, z_w)
 
     # --- rhs3d phase (main3d.F:563): pre_step3d, prsgrd, t3dmix, rhs,
     #     uv3dmix ---
@@ -476,7 +497,10 @@ def step(cfg: Config, grid: Grid, state: State,
             ("prestep", "hvisc", "prsgrd", "cor", "xadv", "yadv", "vadv"))
 
     # --- omega with corrected fluxes (main3d.F:789) ---
-    W2 = omega(cfg, grid, Huon2, Hvom2, z_w2)
+    if diag_pallas.use_pallas(cfg):
+        W2 = diag_pallas.omega_fused(cfg, grid, Huon2, Hvom2, z_w2)
+    else:
+        W2 = omega(cfg, grid, Huon2, Hvom2, z_w2)
 
     # --- GLS corrector (main3d.F:791-793): updates Akv/Akt for the
     #     tracer step ---

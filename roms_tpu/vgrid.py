@@ -166,11 +166,18 @@ def set_depth(h, zeta, hc, sc_r, Cs_r, sc_w, Cs_w, vtransform: int,
         return z_r - dz_ice, z_w - dz_ice, Hz
     h = jnp.asarray(h)
     zeta = jnp.asarray(zeta)
-    sc_r = jnp.asarray(sc_r, dtype=h.dtype)[:, None, None]
-    Cs_r = jnp.asarray(Cs_r, dtype=h.dtype)[:, None, None]
+
+    def lift(a):
+        # accept (K,) tables or pre-lifted (K,1,1) (the Pallas diag
+        # kernel feeds VMEM-shaped tables; Mosaic has no 1-D vectors)
+        a = jnp.asarray(a, dtype=h.dtype)
+        return a[:, None, None] if a.ndim == 1 else a
+
+    sc_r = lift(sc_r)
+    Cs_r = lift(Cs_r)
     # interior w levels k=1..N; k=0 handled explicitly as -h
-    sc_wk = jnp.asarray(sc_w, dtype=h.dtype)[1:, None, None]
-    Cs_wk = jnp.asarray(Cs_w, dtype=h.dtype)[1:, None, None]
+    sc_wk = lift(sc_w)[1:]
+    Cs_wk = lift(Cs_w)[1:]
 
     if vtransform == 1:
         hinv = 1.0 / h
