@@ -248,10 +248,12 @@ def kelvin(Lm=50, Mm=30, N=10, dt=900.0, ndtfast=60, dtype="float64"):
     f0, depth, zeta0 = 1.0e-4, 100.0, 1.0
     omega_m2 = 2.0 * np.pi / (12.42 * 3600.0)
     cph = np.sqrt(C.g * depth)
-    y_west = np.asarray(grid.yr)[:, H]        # boundary column
 
     def forcing_fn(cfg, grid, time):
-        # western boundary: analytic Kelvin wave (ana_fsobc/ana_m2obc)
+        # western boundary: analytic Kelvin wave (ana_fsobc/ana_m2obc).
+        # y taken from the grid ARGUMENT (not a closure) so the same fn
+        # builds each shard's local boundary segment under parallel/smap
+        y_west = grid.yr[:, cfg.halo]
         zw = zeta0 * jnp.exp(-f0 * y_west / cph) * \
             jnp.cos(omega_m2 * time)
         ubw = zw * cph / depth

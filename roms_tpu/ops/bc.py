@@ -242,9 +242,12 @@ def add_row(f, a_dst, delta, side=None):
     return f.at[..., a_dst, :].add(delta)
 
 
-def apply_bc_rho(cfg: Config, lbc: LBC, f, mask=None, clamp=None):
+def apply_bc_rho(cfg: Config, lbc: LBC, f, mask=None, clamp=None,
+                 fill: bool = True):
     """BCs for a rho-point field (zeta-like; zetabc.F:236-700 closed ≡
-    zero-gradient onto the boundary ring)."""
+    zero-gradient onto the boundary ring).  fill=False skips the final
+    halo refresh (the sharded fast loop defers it into one fused
+    multi-field exchange per substep - mp_exchange.F:290-293)."""
     H = cfg.halo
     L, M = cfg.Lm, cfg.Mm
     if not cfg.ew_periodic:
@@ -267,10 +270,11 @@ def apply_bc_rho(cfg: Config, lbc: LBC, f, mask=None, clamp=None):
             f = _set_row(f, H + M, clamp["north"], "north")
     if mask is not None:
         f = f * mask
-    return fill_halo(cfg, f)
+    return fill_halo(cfg, f) if fill else f
 
 
-def apply_bc_u(cfg: Config, lbc: LBC, f, gamma2: float = 1.0, mask=None):
+def apply_bc_u(cfg: Config, lbc: LBC, f, gamma2: float = 1.0, mask=None,
+               fill: bool = True):
     """BCs for a u-point field (ubar/u; u2dbc_im.F).
 
     West/east are the *normal* direction (closed -> u=0 on the wall face);
@@ -304,10 +308,11 @@ def apply_bc_u(cfg: Config, lbc: LBC, f, gamma2: float = 1.0, mask=None):
             f = _set_row(f, H + M, f[..., H + M - 1, :], "north")
     if mask is not None:
         f = f * mask
-    return fill_halo(cfg, f)
+    return fill_halo(cfg, f) if fill else f
 
 
-def apply_bc_v(cfg: Config, lbc: LBC, f, gamma2: float = 1.0, mask=None):
+def apply_bc_v(cfg: Config, lbc: LBC, f, gamma2: float = 1.0, mask=None,
+               fill: bool = True):
     """BCs for a v-point field (vbar/v; v2dbc_im.F).
 
     South/north are normal (closed -> v=0 on the wall face, v2dbc_im.F
@@ -337,7 +342,18 @@ def apply_bc_v(cfg: Config, lbc: LBC, f, gamma2: float = 1.0, mask=None):
             f = _set_col(f, H + L, f[..., :, H + L - 1], "east")
     if mask is not None:
         f = f * mask
-    return fill_halo(cfg, f)
+    return fill_halo(cfg, f) if fill else f
+
+
+def fill_halo_multi(cfg: Config, *fields):
+    """One fused halo refresh for several same-shaped fields (the
+    reference packs up to 4 fields per mp_exchange message,
+    mp_exchange.F:290-293,398-405): stack, exchange once, unstack.
+    Bitwise identical to per-field fill_halo."""
+    if len(fields) == 1:
+        return (fill_halo(cfg, fields[0]),)
+    stacked = fill_halo(cfg, jnp.stack(fields, axis=0))
+    return tuple(stacked[i] for i in range(len(fields)))
 
 
 # ---------------------------------------------------------------------------

@@ -67,7 +67,8 @@ def _grid_lite(pm, pn, pmask) -> SimpleNamespace:
 def _vmem_params(interpret):
     # 123 MB of the v5e's 128 MB VMEM: whole-array kernels carry their
     # intermediates as (spilled) vector registers, and lower caps
-    # rejected kernels that fit the hardware (rhs3d_fused needs ~120 MB)
+    # rejected kernels that fit the hardware (rhs3d_fused needs ~120 MB;
+    # ~124 MB is the practical ceiling - the runtime keeps some VMEM)
     return dict(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=123 * 1024 * 1024),

@@ -484,45 +484,86 @@ def obc_volcons(cfg: Config, grid, ubar, vbar, zeta, volcons):
     """Integral volume conservation across open boundaries
     (obc_volcons.F obc_flux_tile): compute the net inflow and subtract a
     uniform cross-section correction velocity at every participating
-    open-boundary face.  volcons: set of sides, e.g. {"west","east"}."""
+    open-boundary face.  volcons: set of sides, e.g. {"west","east"}.
+
+    Under a ParCtx (shard_map region) the boundary integrals are the
+    reference's global allreduce (obc_volcons.F:487 mp_reduce): each
+    edge shard sums its share of the face, gated by edge ownership, and
+    the partial sums are psum'ed over both mesh axes; the ring
+    correction writes stay edge-shard-gated."""
+    from jax import lax
+    from . import bc
     H = cfg.halo
     L, M = cfg.Lm, cfg.Mm
+    ctx = bc.current_ctx()
     D = zeta + grid.h
     area = jnp.asarray(0.0, ubar.dtype)
     flux = jnp.asarray(0.0, ubar.dtype)
     jj = slice(H, H + M)
     ii = slice(H, H + L)
+
+    def gate(val, side):
+        # zero a non-owning shard's contribution to the face integral
+        if ctx is None:
+            return val
+        return jnp.where(bc._owns(ctx, side), val, 0.0)
+
     if "west" in volcons:
         cff = 0.5 * (D[jj, H - 1] + D[jj, H])
         on_u_w = 2.0 / (grid.pn[jj, H - 1] + grid.pn[jj, H])
-        cw = cff * on_u_w * grid.umask[jj, H]
+        cw = gate(cff * on_u_w * grid.umask[jj, H], "west")
         area = area + jnp.sum(cw)
         flux = flux + jnp.sum(cw * ubar[jj, H])
     if "east" in volcons:
         cff = 0.5 * (D[jj, H + L - 1] + D[jj, H + L])
         on_u_e = 2.0 / (grid.pn[jj, H + L - 1] + grid.pn[jj, H + L])
-        ce = cff * on_u_e * grid.umask[jj, H + L]
+        ce = gate(cff * on_u_e * grid.umask[jj, H + L], "east")
         area = area + jnp.sum(ce)
         flux = flux - jnp.sum(ce * ubar[jj, H + L])
     if "south" in volcons:
         cff = 0.5 * (D[H - 1, ii] + D[H, ii])
         om_v_s = 2.0 / (grid.pm[H - 1, ii] + grid.pm[H, ii])
-        cs = cff * om_v_s * grid.vmask[H, ii]
+        cs = gate(cff * om_v_s * grid.vmask[H, ii], "south")
         area = area + jnp.sum(cs)
         flux = flux + jnp.sum(cs * vbar[H, ii])
     if "north" in volcons:
         cff = 0.5 * (D[H + M - 1, ii] + D[H + M, ii])
         om_v_n = 2.0 / (grid.pm[H + M - 1, ii] + grid.pm[H + M, ii])
-        cn = cff * om_v_n * grid.vmask[H + M, ii]
+        cn = gate(cff * om_v_n * grid.vmask[H + M, ii], "north")
         area = area + jnp.sum(cn)
         flux = flux - jnp.sum(cn * vbar[H + M, ii])
+    if ctx is not None:
+        # the reference's mp_reduce over all tiles
+        area = lax.psum(lax.psum(area, ctx.axes[1]), ctx.axes[0])
+        flux = lax.psum(lax.psum(flux, ctx.axes[1]), ctx.axes[0])
     ubar_xs = flux / jnp.maximum(area, _EPS)
+
+    if ctx is None:
+        if "west" in volcons:
+            ubar = ubar.at[jj, H].add(-ubar_xs)
+        if "east" in volcons:
+            ubar = ubar.at[jj, H + L].add(ubar_xs)
+        if "south" in volcons:
+            vbar = vbar.at[H, ii].add(-ubar_xs)
+        if "north" in volcons:
+            vbar = vbar.at[H + M, ii].add(ubar_xs)
+        return ubar, vbar
+
+    # sharded ring writes: only interior rows/cols of the owning shards
+    # (halo cells are rebuilt by the following fill_halo exchange)
+    ny, nx = ubar.shape[-2], ubar.shape[-1]
+    rowsel = (jnp.arange(ny) >= H) & (jnp.arange(ny) < H + M)
+    colsel = (jnp.arange(nx) >= H) & (jnp.arange(nx) < H + L)
     if "west" in volcons:
-        ubar = ubar.at[jj, H].add(-ubar_xs)
+        ubar = bc.add_col(ubar, H, jnp.where(rowsel, -ubar_xs, 0.0),
+                          "west")
     if "east" in volcons:
-        ubar = ubar.at[jj, H + L].add(ubar_xs)
+        ubar = bc.add_col(ubar, H + L, jnp.where(rowsel, ubar_xs, 0.0),
+                          "east")
     if "south" in volcons:
-        vbar = vbar.at[H, ii].add(-ubar_xs)
+        vbar = bc.add_row(vbar, H, jnp.where(colsel, -ubar_xs, 0.0),
+                          "south")
     if "north" in volcons:
-        vbar = vbar.at[H + M, ii].add(ubar_xs)
+        vbar = bc.add_row(vbar, H + M, jnp.where(colsel, ubar_xs, 0.0),
+                          "north")
     return ubar, vbar

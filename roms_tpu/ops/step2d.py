@@ -324,37 +324,51 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
     frc_su = forcing.sustr if forcing is not None else None
     frc_sv = forcing.svstr if forcing is not None else None
 
+    # Under shard_map the ubar/vbar/rzeta refreshes of a substep are
+    # DEFERRED and fused into one multi-field exchange at the substep
+    # end (mp_exchange.F packs up to 4 fields per message); zeta keeps
+    # its immediate refresh (its halo feeds the same substep's
+    # momentum).  Single-device behavior is unchanged.
+    sharded = bc.current_ctx() is not None
+
     def ubc(u_new, u_know, z_know, dt2d_, z_new=None, v_know=None):
         u_new = bc.apply_bc_u(cfg, cfg.lbc_ubar, u_new,
-                              gamma2=cfg.gamma2, mask=grid.umask)
+                              gamma2=cfg.gamma2, mask=grid.umask,
+                              fill=not sharded)
         if adv_u:
             u_new = obc.u2dbc(cfg, grid, cfg.lbc_ubar, u_know, u_new,
                               z_know, dt2d_, bry, z_kout=z_new,
                               vb_know=v_know, sustr=frc_su)
-            u_new = bc.fill_halo(cfg, u_new)
+            if not sharded:
+                u_new = bc.fill_halo(cfg, u_new)
         return u_new
 
     def vbc(v_new, v_know, z_know, dt2d_, z_new=None, u_know=None):
         v_new = bc.apply_bc_v(cfg, cfg.lbc_vbar, v_new,
-                              gamma2=cfg.gamma2, mask=grid.vmask)
+                              gamma2=cfg.gamma2, mask=grid.vmask,
+                              fill=not sharded)
         if adv_v:
             v_new = obc.v2dbc(cfg, grid, cfg.lbc_vbar, v_know, v_new,
                               z_know, dt2d_, bry, z_kout=z_new,
                               ub_know=u_know, svstr=frc_sv)
-            v_new = bc.fill_halo(cfg, v_new)
+            if not sharded:
+                v_new = bc.fill_halo(cfg, v_new)
         return v_new
 
     def srcs(u_new, v_new, z_new):
         if cfg.volcons:
             u_new, v_new = obc.obc_volcons(cfg, grid, u_new, v_new,
                                            z_new, set(cfg.volcons))
-            u_new = bc.fill_halo(cfg, u_new)
-            v_new = bc.fill_halo(cfg, v_new)
+            if not sharded:
+                u_new = bc.fill_halo(cfg, u_new)
+                v_new = bc.fill_halo(cfg, v_new)
         if sources is None:
             return u_new, v_new
         from .sources import apply_ubar_sources
         u_new, v_new = apply_ubar_sources(sources, u_new, v_new, z_new,
                                           grid.h, grid.on_u, grid.om_v)
+        if sharded:
+            return u_new, v_new
         return bc.fill_halo(cfg, u_new), bc.fill_halo(cfg, v_new)
 
     if rufrc is None:
@@ -424,10 +438,18 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
         ubar_p = ubar_p * wetdry.limit(um_w, ubar_p)
         vbar_p = vbar_p * wetdry.limit(vm_w, vbar_p)
     ubar_p, vbar_p = srcs(ubar_p, vbar_p, zeta_p)
-    fs = fs.replace(
-        rzeta_nm1=fs.rzeta_n, rzeta_n=bc.fill_halo(cfg, rhs_zeta),
-        rubar_nm1=fs.rubar_n, rubar_n=rhs_ubar,
-        rvbar_nm1=fs.rvbar_n, rvbar_n=rhs_vbar)
+    if sharded:
+        ubar_p, vbar_p, rhs_zeta = bc.fill_halo_multi(
+            cfg, ubar_p, vbar_p, rhs_zeta)
+        fs = fs.replace(
+            rzeta_nm1=fs.rzeta_n, rzeta_n=rhs_zeta,
+            rubar_nm1=fs.rubar_n, rubar_n=rhs_ubar,
+            rvbar_nm1=fs.rvbar_n, rvbar_n=rhs_vbar)
+    else:
+        fs = fs.replace(
+            rzeta_nm1=fs.rzeta_n, rzeta_n=bc.fill_halo(cfg, rhs_zeta),
+            rubar_nm1=fs.rubar_n, rubar_n=rhs_ubar,
+            rvbar_nm1=fs.rvbar_n, rvbar_n=rhs_vbar)
 
     def corrector(i, fs, zeta_p, ubar_p, vbar_p, first: bool, wet_avg):
         if use_wd:             # corrector: kstp = n -> masks from zeta_n
@@ -479,6 +501,9 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
             ubar_new = ubar_new * wetdry.limit(um_c, ubar_new)
             vbar_new = vbar_new * wetdry.limit(vm_c, vbar_new)
         ubar_new, vbar_new = srcs(ubar_new, vbar_new, zeta_new)
+        if sharded:
+            ubar_new, vbar_new = bc.fill_halo_multi(cfg, ubar_new,
+                                                    vbar_new)
         return fs.replace(
             zeta_nm1=fs.zeta_n, zeta_n=zeta_new,
             ubar_nm1=fs.ubar_n, ubar_n=ubar_new,
@@ -547,10 +572,19 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
             ubar_p = ubar_p * wetdry.limit(um_p, ubar_p)
             vbar_p = vbar_p * wetdry.limit(vm_p, vbar_p)
         ubar_p, vbar_p = srcs(ubar_p, vbar_p, zeta_p)
-        fs = fs.replace(
-            rzeta_nm1=fs.rzeta_n, rzeta_n=bc.fill_halo(cfg, rhs_zeta),
-            rubar_nm1=fs.rubar_n, rubar_n=rhs_ubar,
-            rvbar_nm1=fs.rvbar_n, rvbar_n=rhs_vbar)
+        if sharded:
+            ubar_p, vbar_p, rhs_zeta = bc.fill_halo_multi(
+                cfg, ubar_p, vbar_p, rhs_zeta)
+            fs = fs.replace(
+                rzeta_nm1=fs.rzeta_n, rzeta_n=rhs_zeta,
+                rubar_nm1=fs.rubar_n, rubar_n=rhs_ubar,
+                rvbar_nm1=fs.rvbar_n, rvbar_n=rhs_vbar)
+        else:
+            fs = fs.replace(
+                rzeta_nm1=fs.rzeta_n,
+                rzeta_n=bc.fill_halo(cfg, rhs_zeta),
+                rubar_nm1=fs.rubar_n, rubar_n=rhs_ubar,
+                rvbar_nm1=fs.rvbar_n, rvbar_n=rhs_vbar)
         return corrector(i, fs, zeta_p, ubar_p, vbar_p, False, wet_avg)
 
     if nfast >= 2:
@@ -567,12 +601,20 @@ def fast_loop(cfg: Config, grid: Grid, fs: Fast2DState,
         du1, dv1 = DUon - us2d[0], DVom - us2d[1]
     else:
         du1, dv1 = DUon, DVom
-    fs = fs.replace(
-        Zt_avg1=bc.fill_halo(cfg, fs.Zt_avg1 + cff1 * fs.zeta_n),
-        DU_avg1=bc.fill_halo(cfg, fs.DU_avg1 + cff1 * du1),
-        DV_avg1=bc.fill_halo(cfg, fs.DV_avg1 + cff1 * dv1),
-        DU_avg2=bc.fill_halo(cfg, fs.DU_avg2 + cff2 * DUon),
-        DV_avg2=bc.fill_halo(cfg, fs.DV_avg2 + cff2 * DVom))
+    if sharded:
+        zt, du1f, dv1f, du2f, dv2f = bc.fill_halo_multi(
+            cfg, fs.Zt_avg1 + cff1 * fs.zeta_n, fs.DU_avg1 + cff1 * du1,
+            fs.DV_avg1 + cff1 * dv1, fs.DU_avg2 + cff2 * DUon,
+            fs.DV_avg2 + cff2 * DVom)
+        fs = fs.replace(Zt_avg1=zt, DU_avg1=du1f, DV_avg1=dv1f,
+                        DU_avg2=du2f, DV_avg2=dv2f)
+    else:
+        fs = fs.replace(
+            Zt_avg1=bc.fill_halo(cfg, fs.Zt_avg1 + cff1 * fs.zeta_n),
+            DU_avg1=bc.fill_halo(cfg, fs.DU_avg1 + cff1 * du1),
+            DV_avg1=bc.fill_halo(cfg, fs.DV_avg1 + cff1 * dv1),
+            DU_avg2=bc.fill_halo(cfg, fs.DU_avg2 + cff2 * DUon),
+            DV_avg2=bc.fill_halo(cfg, fs.DV_avg2 + cff2 * DVom))
 
     # --- time-averaged wet masks for the 3-D kernels (aux wetdry_tile
     #     call, wetdry.F:253-271): wet only if wet at ALL 2*nfast

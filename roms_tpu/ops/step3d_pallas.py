@@ -96,19 +96,39 @@ def use_uv_pallas(cfg: Config, bry=None, sources=None, wet=None) -> bool:
 # ---------------------------------------------------------------------------
 # tracer predictor (pre_step3d.F tracer loop)
 # ---------------------------------------------------------------------------
+def mix_in_predictor(cfg: Config) -> bool:
+    """True when the harmonic tracer mixing (t3dmix2 / t3dmix2_geo) is
+    folded into the predictor kernel (saves the t_nnew HBM round trip
+    and the shared-field re-reads of a separate h-mix kernel).
+
+    Default OFF: at BENCHMARK1 f32 on v5e the folded kernel needs
+    ~126 MB of VMEM and the hardware refuses (the runtime keeps a few MB
+    of the 128); opt in with ROMS_PALLAS_FOLD_MIX=1 for smaller grids."""
+    from . import mix3d_pallas
+    if os.environ.get("ROMS_PALLAS_FOLD_MIX", "0") != "1":
+        return False
+    return (any(x != 0.0 for x in cfg.tnu2)
+            and not cfg.ts_mix_iso
+            and not (cfg.ts_dif4 and any(x != 0.0 for x in cfg.tnu4))
+            and mix3d_pallas.supported(cfg))
+
+
 def tracer_predictor_fused(cfg: Config, grid: Grid, iic, t, t_prev, Hz,
                            Huon, Hvom, W, Akt, ghats=None, srflx=None,
                            swdk_w=None, stflx=None, btflx=None,
-                           interpret: bool | None = None):
+                           z_r=None, interpret: bool | None = None):
     """Fused pre_step3d tracer phase: returns (t3, t_nnew) stacks.
     Same contract as the tracer part of pre_step3d (sources excluded by
-    use_tracer_pallas; z_r unused because lambda=1)."""
+    use_tracer_pallas; z_r only read when the harmonic mixing is folded
+    in - see mix_in_predictor)."""
+    from . import mix3d
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     dtype = t.dtype
     shape3 = t[0].shape
+    with_mix = mix_in_predictor(cfg) and z_r is not None
 
     t3_list, tn_list = [], []
     for itrc in range(cfg.ntracers):
@@ -118,9 +138,11 @@ def tracer_predictor_fused(cfg: Config, grid: Grid, iic, t, t_prev, Hz,
                                   and itrc < ghats.shape[0]) else None
         srflx_i = srflx if itrc == 0 else None
         have_sol = srflx_i is not None and swdk_w is not None
+        dcoef = cfg.tnu2[itrc] if itrc < len(cfg.tnu2) else 0.0
+        mix_i = with_mix and dcoef != 0.0
 
         def kernel(*refs, itrc=itrc, have_g=ghats_i is not None,
-                   have_sol=have_sol):
+                   have_sol=have_sol, mix_i=mix_i, dcoef=dcoef):
             (co_r, q_r, qp_r, hz_r, huon_r, hvom_r, w_r, akt_r,
              pm_r, pn_r, st_r, bt_r, *rest) = refs
             g_i = rest[0][...] if have_g else None
@@ -131,13 +153,39 @@ def tracer_predictor_fused(cfg: Config, grid: Grid, iic, t, t_prev, Hz,
                 rest = rest[2:]
             else:
                 sr = sw = None
+            zr_r = rest[0] if mix_i else None
+            rest = rest[1:] if mix_i else rest
             t3_o, tn_o = rest
             coefs_k = (co_r[0], co_r[1], co_r[2], co_r[3])
+            q = q_r[...]
+            Hz_ = hz_r[...]
+            pm = pm_r[...]
+            pn = pn_r[...]
             t3_i, tn_i = tracer_predictor(
-                cfg, pm_r[...] * pn_r[...], itrc, coefs_k, q_r[...],
-                qp_r[...], hz_r[...], None, huon_r[...], hvom_r[...],
+                cfg, pm * pn, itrc, coefs_k, q,
+                qp_r[...], Hz_, None, huon_r[...], hvom_r[...],
                 w_r[...], akt_r[...], g_i, sr, sw, st_r[...], bt_r[...],
                 vadv_fn=_vadv_unrolled)
+            if mix_i:
+                # harmonic mixing folded in (t3dmix2_geo.h / t3dmix2.h)
+                from .mix3d_pallas import _grid_lite
+                g = _grid_lite(pm, pn, None)
+                if cfg.ts_mix_geo:
+                    FX, FE, FS = mix3d._triad_fluxes_geo(
+                        cfg, g, q, Hz_, zr_r[...], dcoef)
+                    tn_i = tn_i + cfg.dt * mix3d._rotated_div(
+                        cfg, g, FX, FE, FS)
+                else:
+                    # t3dmix2_s.h (no sponge - mix3d_pallas.supported)
+                    from .stencil import ip1, im1, jp1, jm1
+                    pmon_u = (im1(pm) + pm) / (im1(pn) + pn)
+                    pnom_v = (jm1(pn) + pn) / (jm1(pm) + pm)
+                    FX = 0.5 * dcoef * pmon_u * (Hz_ + im1(Hz_)) * \
+                        (q - im1(q))
+                    FE = 0.5 * dcoef * pnom_v * (Hz_ + jm1(Hz_)) * \
+                        (q - jm1(q))
+                    tn_i = tn_i + cfg.dt * pm * pn * (
+                        (ip1(FX) - FX) + (jp1(FE) - FE))
             t3_o[...] = t3_i
             tn_o[...] = tn_i
 
@@ -148,6 +196,8 @@ def tracer_predictor_fused(cfg: Config, grid: Grid, iic, t, t_prev, Hz,
         if have_sol:
             ins.append(srflx_i)
             ins.append(swdk_w)
+        if mix_i:
+            ins.append(z_r)
         bc.push_masked()
         try:
             t3_i, tn_i = pl.pallas_call(

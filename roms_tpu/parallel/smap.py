@@ -37,13 +37,15 @@ from ..ops import bc
 def supported(cfg: Config) -> bool:
     """Configurations the local shard_map path implements exactly.
 
-    Open-boundary algorithms (radiation/Chapman/Flather/...) and
-    wetting-drying are supported: ops/obc.py ring writes are
-    edge-shard-gated under the ParCtx.  Exclusions: OBC volume
-    conservation (global boundary integrals -> needs psum plumbing) and
-    external boundary DATA (`bry` dicts are global 1-D lines; blocking
-    them is not implemented - guarded at trace time in the stepper)."""
-    return not cfg.volcons
+    Open-boundary algorithms (radiation/Chapman/Flather/...),
+    wetting-drying, external boundary data and OBC volume conservation
+    are all supported: ops/obc.py ring writes are edge-shard-gated under
+    the ParCtx, obc_volcons psums its face integrals over the mesh
+    (the mp_reduce analog), and `bry` lines work when the forcing_fn
+    derives them from the grid ARGUMENT (each shard then builds its
+    local boundary segment - the mp_exchange2d_bry analog; see
+    make_smap_stepper)."""
+    return True
 
 
 def _is_field(cfg: Config, a) -> bool:
@@ -157,16 +159,11 @@ def make_smap_stepper(cfg: Config, grid, mesh: Mesh,
     grid_b = block(cfg, mesh, grid)
     grid_specs = _blocked_specs(cfg_l, grid_b)
 
-    if forcing_fn is not None:
-        _fn = forcing_fn
-
-        def forcing_fn(c, g, t):
-            frc = _fn(c, g, t)
-            if "bry" in frc:
-                raise NotImplementedError(
-                    "external boundary data (bry) is not supported on "
-                    "the shard_map path yet; use the GSPMD stepper")
-            return frc
+    # NOTE on bry: forcing_fn is called with the LOCAL cfg and grid
+    # block, so boundary-data lines built from the grid argument come
+    # out local-sized and land on the right shard rows/cols; the obc
+    # ring writes are edge-shard-gated, so non-owning shards ignore
+    # them.  File-driven bry lines must be pre-blocked by the caller.
 
     def local_step(grid_blk, state_blk):
         gl = jax.tree_util.tree_map(

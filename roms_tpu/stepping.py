@@ -253,7 +253,7 @@ def step(cfg: Config, grid: Grid, state: State,
         t3, t_nnew = step3d_pallas.tracer_predictor_fused(
             cfg, grid, state.iic, state.t, state.t_prev, Hz, Huon,
             Hvom, W, Akt, ghats=ghats, srflx=srflx, swdk_w=swdk_w,
-            stflx=stflx, btflx=btflx)
+            stflx=stflx, btflx=btflx, z_r=z_r)
         u_nnew = v_nnew = None
         if not rhs_fused:
             from .ops.pre_step3d import ab3_start_coefs, momentum_init
@@ -307,7 +307,8 @@ def step(cfg: Config, grid: Grid, state: State,
                                    eq_tide=eq_tide)
 
     t_nnew_premix = t_nnew if collect_diags else None
-    if any(x != 0.0 for x in cfg.tnu2):
+    mix_folded = tr_fused and step3d_pallas.mix_in_predictor(cfg)
+    if any(x != 0.0 for x in cfg.tnu2) and not mix_folded:
         if cfg.ts_mix_iso:
             t_nnew = t3dmix2_iso(cfg, grid, state.t, pden, Hz, z_r,
                                  t_nnew, cfg.dt)

@@ -5,8 +5,11 @@ message pattern), never full-array shifts.
 Run on CPU: env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
     python scripts/check_hlo_halos.py
 Round-4 result (upwelling 24x16x4 over a 2x4 mesh, local block 14x12):
-148 collective-permutes, shapes [14,3] / [3,12] / [N,14,3] / [N,3,12]
-(+ tracer-stacked variants) - all width-3 strips.
+148 collective-permutes, all width-3 strips.
+Round-5 result after the fast loop's per-substep exchanges were fused
+into multi-field payloads (bc.fill_halo_multi; the mp_exchange
+4-fields-per-message analog): 108, incl. [2,*]/[3,*]/[5,*] stacked
+payloads; the per-substep fast-loop exchange count dropped ~2x.
 """
 import os
 import re

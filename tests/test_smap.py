@@ -137,3 +137,31 @@ def test_smap_radiation_obc_wetdry():
         a = np.asarray(getattr(sA, name))
         b = np.asarray(getattr(sB, name))
         np.testing.assert_allclose(b, a, rtol=0, atol=1e-11, err_msg=name)
+
+
+@needs8
+def test_smap_tidal_bry_volcons():
+    """Tidal boundary data (bry lines built from the grid argument) +
+    OBC volume conservation (psum face integrals) over an 8-device
+    mesh == single device (VERDICT r4 item 5 criterion)."""
+    from roms_tpu.models import cases
+    cfg, grid, s0, ffn = cases.kelvin(Lm=24, Mm=16, N=4, dt=300.0,
+                                      ndtfast=20)
+    cfg = cfg.replace(volcons=("west", "east"))
+    assert smap.supported(cfg)
+    nsteps = 3
+    runA = jax.jit(lambda s: stepping.run(cfg, grid, s, nsteps, ffn))
+    sA = jax.device_get(runA(s0))
+    assert np.isfinite(np.asarray(sA.zeta)).all()
+
+    mesh = make_mesh(jax.devices()[:8], shape=(2, 4))
+    stepB = smap.make_smap_stepper(cfg, grid, mesh, ffn)
+    sb = smap.block(cfg, mesh, s0)
+    for _ in range(nsteps):
+        sb = stepB(sb)
+    sB = jax.device_get(smap.unblock(cfg, mesh, sb))
+    for name in ("zeta", "ubar", "vbar", "u", "v", "t"):
+        a = np.asarray(getattr(sA, name))
+        b = np.asarray(getattr(sB, name))
+        np.testing.assert_allclose(b, a, rtol=0, atol=1e-11,
+                                   err_msg=name)
