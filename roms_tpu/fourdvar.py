@@ -65,7 +65,12 @@ def make_bsqrt(cfg: Config, sigmas: Dict[str, float], iters: int = 4):
     def bsqrt(incr: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         out = {}
         for name, v in incr.items():
-            out[name] = sigmas.get(name, 0.0) * _smooth(cfg, v, iters)
+            sig = sigmas.get(name, 0.0)
+            if getattr(v, "ndim", 0) >= 2:
+                out[name] = sig * _smooth(cfg, v, iters)
+            else:
+                # boundary-data lines (1-D): std-dev scaling only
+                out[name] = sig * v
         return out
 
     return bsqrt
@@ -76,9 +81,22 @@ def _dot(a: Dict, b: Dict):
 
 
 def _make_ops(cfg: Config, grid: Grid, background: State,
-              obs: Sequence[Obs], nsteps: int, forcing_fn: Callable):
+              obs: Sequence[Obs], nsteps: int, forcing_fn: Callable,
+              controls: Sequence[str] = CONTROL_FIELDS):
     """Shared 4D-Var building blocks: the sampled trajectory operator
-    H∘M, the sigma-scaled observation vector, and increment helpers."""
+    H∘M, the sigma-scaled observation vector, and increment helpers.
+
+    controls: the control-vector entries.  State field names are
+    initial-condition increments; "sustr"/"svstr" (and any other 2-D
+    forcing key) are surface-forcing increments applied uniformly over
+    the window (frc_adjust.F:1-120 piecewise-constant adjustment with
+    one record); "bry:<key>" entries (e.g. "bry:zeta_west") are
+    open-boundary data increments (obc_adjust.F)."""
+    state_keys = [k for k in controls if hasattr(background, k)]
+    frc_keys = [k for k in controls
+                if not hasattr(background, k) and
+                not k.startswith("bry:")]
+    bry_keys = [k[4:] for k in controls if k.startswith("bry:")]
 
     def sample(ob, state: State):
         # fractional-coordinate obs (obs.FracObs, the extract_obs.F
@@ -88,10 +106,30 @@ def _make_ops(cfg: Config, grid: Grid, background: State,
             return ob.sample(cfg, state)
         return getattr(state, ob.field)[ob.idx]
 
-    def traj_obs(state: State):
+    def _wrap_forcing(dx: Dict):
+        """Apply forcing/boundary-data control increments on top of the
+        case forcing (the TLM/ADM of these enters via jvp/vjp of the
+        wrapped function - the frc_adjust/obc_adjust analogs)."""
+        if not frc_keys and not bry_keys:
+            return forcing_fn
+
+        def ffn(c, g, t):
+            frc = dict(forcing_fn(c, g, t)) if forcing_fn else {}
+            for k in frc_keys:
+                frc[k] = frc.get(k, 0.0) + dx[k]
+            if bry_keys:
+                b = dict(frc.get("bry", {}))
+                for k in bry_keys:
+                    b[k] = b.get(k, 0.0) + dx["bry:" + k]
+                frc["bry"] = b
+            return frc
+        return ffn
+
+    def traj_obs_ctl(state: State, dx: Dict):
+        ffn = _wrap_forcing(dx)
         out = []
         for n in range(nsteps):
-            state = stepping.step(cfg, grid, state, forcing_fn)
+            state = stepping.step(cfg, grid, state, ffn)
             for ob in obs:
                 if ob.step == n + 1:
                     out.append(sample(ob, state) / ob.sigma)
@@ -101,49 +139,75 @@ def _make_ops(cfg: Config, grid: Grid, background: State,
         [jnp.ravel(ob.values / ob.sigma) for ob in sorted(
             obs, key=lambda o: o.step)])
 
-    def add_incr(state: State, dx: Dict):
-        upd = {k: getattr(state, k) + dx[k] for k in CONTROL_FIELDS}
+    def add_state_incr(state: State, dx: Dict):
+        upd = {k: getattr(state, k) + dx[k] for k in state_keys}
         return state.replace(**upd)
 
-    def zeros_incr():
-        return {k: jnp.zeros_like(getattr(background, k))
-                for k in CONTROL_FIELDS}
+    zero2 = jnp.zeros_like(background.zeta)
 
-    return traj_obs, y_scaled, add_incr, zeros_incr
+    def zeros_incr():
+        out = {k: jnp.zeros_like(getattr(background, k))
+               for k in state_keys}
+        for k in frc_keys:
+            out[k] = zero2
+        for k in bry_keys:
+            # boundary lines span the padded axis of their side
+            n = (background.zeta.shape[-2] if k.endswith("west")
+                 or k.endswith("east") else background.zeta.shape[-1])
+            out["bry:" + k] = jnp.zeros((n,), background.zeta.dtype)
+        return out
+
+    def traj_obs(state: State):
+        return traj_obs_ctl(state, zeros_incr())
+
+    return traj_obs_ctl, traj_obs, y_scaled, add_state_incr, zeros_incr
 
 
 def i4dvar(cfg: Config, grid: Grid, background: State,
            obs: Sequence[Obs], nsteps: int,
            forcing_fn: Callable = None,
            sigmas: Dict[str, float] = None,
-           b_iters: int = 4, n_inner: int = 10, n_outer: int = 1):
+           b_iters: int = 4, n_inner: int = 10, n_outer: int = 1,
+           controls: Sequence[str] = CONTROL_FIELDS):
     """Run incremental 4D-Var; returns (analysis State, diagnostics dict).
 
     The trajectory operator M maps an initial State to the observed
-    quantities at their steps; H samples fields at indices.
+    quantities at their steps; H samples fields at indices.  controls
+    may add surface-forcing ("sustr", "svstr") and boundary-data
+    ("bry:zeta_west", ...) entries to the IC control vector (the
+    frc_adjust.F / obc_adjust.F adjustable-forcing analogs); their
+    accumulated increments are returned in diags["control"].
     """
     sigmas = sigmas or {"zeta": 0.1, "u": 0.1, "v": 0.1, "t": 0.5}
     bsqrt = make_bsqrt(cfg, sigmas, b_iters)
-    traj_obs, y_scaled, add_incr, zeros_incr = _make_ops(
-        cfg, grid, background, obs, nsteps, forcing_fn)
+    traj_ctl, traj_obs, y_scaled, add_state, zeros_incr = _make_ops(
+        cfg, grid, background, obs, nsteps, forcing_fn, controls)
+    z0 = zeros_incr()
+    ctl_keys = [k for k in z0 if not hasattr(background, k)]
+
+    def f_about(x, ctl):
+        def f(dx):
+            dxm = {**dx, **{k: dx[k] + ctl[k] for k in ctl}}
+            return traj_ctl(add_state(x, dx), dxm)
+        return f
 
     diags = {"Jo": [], "cg_residuals": []}
     x = background
+    ctl = {k: z0[k] for k in ctl_keys}
 
     @jax.jit
-    def linearize(x):
-        hx, vjp_fn = jax.vjp(lambda dx: traj_obs(add_incr(x, dx)),
-                             zeros_incr())
+    def linearize(x, ctl):
+        hx, vjp_fn = jax.vjp(f_about(x, ctl), zeros_incr())
         d = hx - y_scaled
         (rhs_adj,) = vjp_fn(d)
         rhs = {k: -v for k, v in bsqrt(rhs_adj).items()}
         return d, rhs
 
     @jax.jit
-    def hess_mv(x, w):
+    def hess_mv(x, ctl, w):
         """(I + B^T/2 M^T H^T R^-1 H M B^1/2) w about trajectory x."""
         dxb = bsqrt(w)
-        f = lambda dx: traj_obs(add_incr(x, dx))
+        f = f_about(x, ctl)
         _, hmv = jax.jvp(f, (zeros_incr(),), (dxb,))
         _, vjp_fn = jax.vjp(f, zeros_incr())
         (adj,) = vjp_fn(hmv)
@@ -151,7 +215,7 @@ def i4dvar(cfg: Config, grid: Grid, background: State,
         return {k: w[k] + badj[k] for k in w}
 
     for outer in range(n_outer):
-        d, rhs = linearize(x)
+        d, rhs = linearize(x, ctl)
         diags["Jo"].append(float(0.5 * jnp.vdot(d, d).real))
 
         # congrad.F-style conjugate gradient in control (v) space
@@ -160,7 +224,7 @@ def i4dvar(cfg: Config, grid: Grid, background: State,
         p = r
         rr = _dot(r, r)
         for it in range(n_inner):
-            Ap = hess_mv(x, p)
+            Ap = hess_mv(x, ctl, p)
             alpha = rr / jnp.maximum(_dot(p, Ap), 1e-30)
             w = {k: w[k] + alpha * p[k] for k in w}
             r = {k: r[k] - alpha * Ap[k] for k in r}
@@ -170,12 +234,14 @@ def i4dvar(cfg: Config, grid: Grid, background: State,
             p = {k: r[k] + beta * p[k] for k in p}
             rr = rr_new
 
-        x = add_incr(x, bsqrt(w))
+        incr = bsqrt(w)
+        x = add_state(x, incr)
+        ctl = {k: ctl[k] + incr[k] for k in ctl}
 
     # final cost
-    hx_f = traj_obs(x)
-    df = hx_f - y_scaled
+    df = f_about(x, ctl)(zeros_incr()) - y_scaled
     diags["Jo"].append(float(0.5 * jnp.vdot(df, df).real))
+    diags["control"] = ctl
     return x, diags
 
 
@@ -183,7 +249,8 @@ def rbl4dvar(cfg: Config, grid: Grid, background: State,
              obs: Sequence[Obs], nsteps: int,
              forcing_fn: Callable = None,
              sigmas: Dict[str, float] = None,
-             b_iters: int = 4, n_inner: int = 10, n_outer: int = 1):
+             b_iters: int = 4, n_inner: int = 10, n_outer: int = 1,
+             controls: Sequence[str] = CONTROL_FIELDS):
     """Dual (observation-space) 4D-Var: the RBL4D-Var formulation
     (ROMS/Drivers/rbl4dvar.h + ROMS/Utility/rpcg_lanczos.F).
 
@@ -197,8 +264,17 @@ def rbl4dvar(cfg: Config, grid: Grid, background: State,
     sigma-scaled observation space."""
     sigmas = sigmas or {"zeta": 0.1, "u": 0.1, "v": 0.1, "t": 0.5}
     bsqrt = make_bsqrt(cfg, sigmas, b_iters)
-    traj_obs, y_scaled, add_incr, zeros_incr = _make_ops(
-        cfg, grid, background, obs, nsteps, forcing_fn)
+    traj_ctl, traj_obs, y_scaled, add_state, zeros_incr = _make_ops(
+        cfg, grid, background, obs, nsteps, forcing_fn, controls)
+    z0 = zeros_incr()
+    ctl_keys = [k for k in z0 if not hasattr(background, k)]
+    ctl = {k: z0[k] for k in ctl_keys}
+
+    def f_about(x, ctl):
+        def f(dx):
+            dxm = {**dx, **{k: dx[k] + ctl[k] for k in ctl}}
+            return traj_ctl(add_state(x, dx), dxm)
+        return f
 
     def apply_B(v: Dict):
         return bsqrt(bsqrt(v))          # B = B^1/2 B^T/2 (symmetric)
@@ -207,27 +283,26 @@ def rbl4dvar(cfg: Config, grid: Grid, background: State,
     x = background
 
     @jax.jit
-    def innovation(x):
-        hx = traj_obs(x)
-        return y_scaled - hx
+    def innovation(x, ctl):
+        return y_scaled - f_about(x, ctl)(zeros_incr())
 
     @jax.jit
-    def rep_mv(x, z):
+    def rep_mv(x, ctl, z):
         """G z = H M B M^T H^T z about trajectory x."""
-        f = lambda dx: traj_obs(add_incr(x, dx))
+        f = f_about(x, ctl)
         _, vjp_fn = jax.vjp(f, zeros_incr())
         (adj,) = vjp_fn(z)
         _, out = jax.jvp(f, (zeros_incr(),), (apply_B(adj),))
         return out
 
     for outer in range(n_outer):
-        d = innovation(x)
+        d = innovation(x, ctl)
         diags["Jo"].append(float(0.5 * jnp.vdot(d, d).real))
 
         # RPCG: CG on (I + G) z = d with G-metric inner products
         z = jnp.zeros_like(d)
         r = d
-        Gr = rep_mv(x, r)
+        Gr = rep_mv(x, ctl, r)
         p, Gp = r, Gr
         rGr = jnp.vdot(r, Gr).real
         for it in range(n_inner):
@@ -237,7 +312,7 @@ def rbl4dvar(cfg: Config, grid: Grid, background: State,
             alpha = rGr / jnp.maximum(pGAp, 1e-30)
             z = z + alpha * p
             r = r - alpha * Ap
-            Gr = rep_mv(x, r)
+            Gr = rep_mv(x, ctl, r)
             rGr_new = jnp.vdot(r, Gr).real
             diags["cg_residuals"].append(
                 float(jnp.sqrt(jnp.maximum(rGr_new, 0.0))))
@@ -247,13 +322,16 @@ def rbl4dvar(cfg: Config, grid: Grid, background: State,
             rGr = rGr_new
 
         # back to state space: dx = B M^T H^T z
-        f = lambda dx: traj_obs(add_incr(x, dx))
+        f = f_about(x, ctl)
         _, vjp_fn = jax.vjp(f, zeros_incr())
         (adj,) = vjp_fn(z)
-        x = add_incr(x, apply_B(adj))
+        incr = apply_B(adj)
+        x = add_state(x, incr)
+        ctl = {k: ctl[k] + incr[k] for k in ctl}
 
-    d = innovation(x)
+    d = innovation(x, ctl)
     diags["Jo"].append(float(0.5 * jnp.vdot(d, d).real))
+    diags["control"] = ctl
     return x, diags
 
 
@@ -261,7 +339,8 @@ def r4dvar(cfg: Config, grid: Grid, background: State,
            obs: Sequence[Obs], nsteps: int,
            forcing_fn: Callable = None,
            sigmas: Dict[str, float] = None,
-           b_iters: int = 4, n_inner: int = 10, n_outer: int = 1):
+           b_iters: int = 4, n_inner: int = 10, n_outer: int = 1,
+           controls: Sequence[str] = CONTROL_FIELDS):
     """Indirect-representer 4D-Var (R4D-Var; ROMS/Drivers/r4dvar.h +
     ROMS/Utility/congrad.F in observation space).
 
@@ -275,8 +354,17 @@ def r4dvar(cfg: Config, grid: Grid, background: State,
     IC increments (no model-error/boundary controls)."""
     sigmas = sigmas or {"zeta": 0.1, "u": 0.1, "v": 0.1, "t": 0.5}
     bsqrt = make_bsqrt(cfg, sigmas, b_iters)
-    traj_obs, y_scaled, add_incr, zeros_incr = _make_ops(
-        cfg, grid, background, obs, nsteps, forcing_fn)
+    traj_ctl, traj_obs, y_scaled, add_state, zeros_incr = _make_ops(
+        cfg, grid, background, obs, nsteps, forcing_fn, controls)
+    z0 = zeros_incr()
+    ctl_keys = [k for k in z0 if not hasattr(background, k)]
+    ctl = {k: z0[k] for k in ctl_keys}
+
+    def f_about(x, ctl):
+        def f(dx):
+            dxm = {**dx, **{k: dx[k] + ctl[k] for k in ctl}}
+            return traj_ctl(add_state(x, dx), dxm)
+        return f
 
     def apply_B(v: Dict):
         return bsqrt(bsqrt(v))
@@ -285,20 +373,20 @@ def r4dvar(cfg: Config, grid: Grid, background: State,
     x = background
 
     @jax.jit
-    def innovation(x):
-        return y_scaled - traj_obs(x)
+    def innovation(x, ctl):
+        return y_scaled - f_about(x, ctl)(zeros_incr())
 
     @jax.jit
-    def rep_mv(x, z):
+    def rep_mv(x, ctl, z):
         """(R + G) z with G = H M B M^T H^T about trajectory x."""
-        f = lambda dx: traj_obs(add_incr(x, dx))
+        f = f_about(x, ctl)
         _, vjp_fn = jax.vjp(f, zeros_incr())
         (adj,) = vjp_fn(z)
         _, Gz = jax.jvp(f, (zeros_incr(),), (apply_B(adj),))
         return z + Gz
 
     for outer in range(n_outer):
-        d = innovation(x)
+        d = innovation(x, ctl)
         diags["Jo"].append(float(0.5 * jnp.vdot(d, d).real))
 
         # congrad.F: standard CG on the stabilized representer matrix
@@ -307,7 +395,7 @@ def r4dvar(cfg: Config, grid: Grid, background: State,
         p = r
         rr = jnp.vdot(r, r).real
         for it in range(n_inner):
-            Ap = rep_mv(x, p)
+            Ap = rep_mv(x, ctl, p)
             alpha = rr / jnp.maximum(jnp.vdot(p, Ap).real, 1e-30)
             z = z + alpha * p
             r = r - alpha * Ap
@@ -317,11 +405,14 @@ def r4dvar(cfg: Config, grid: Grid, background: State,
             p = r + beta * p
             rr = rr_new
 
-        f = lambda dx: traj_obs(add_incr(x, dx))
+        f = f_about(x, ctl)
         _, vjp_fn = jax.vjp(f, zeros_incr())
         (adj,) = vjp_fn(z)
-        x = add_incr(x, apply_B(adj))
+        incr = apply_B(adj)
+        x = add_state(x, incr)
+        ctl = {k: ctl[k] + incr[k] for k in ctl}
 
-    d = innovation(x)
+    d = innovation(x, ctl)
     diags["Jo"].append(float(0.5 * jnp.vdot(d, d).real))
+    diags["control"] = ctl
     return x, diags

@@ -259,6 +259,27 @@ def build_grid(
     return _assemble(cfg, h, f, pm, pn, xr, yr, rmask, umask, vmask, pmask)
 
 
+def build_curvilinear_grid(cfg: Config, xr, yr, pm, pn, f, h,
+                           rmask=None, angler=None):
+    """Build a Grid from caller-supplied curvilinear arrays (padded
+    (ny_tot, nx_tot) numpy): the generic analytic-curvilinear path
+    (ana_grid.h LAB_CANYON-style polar set-ups).  dndx/dmde follow from
+    pm/pn like metrics.F; staggered masks like set_masks.F."""
+    xr = np.asarray(xr, np.float64)
+    arrs = [np.asarray(a, np.float64) for a in (h, f, pm, pn)]
+    h, f, pm, pn = (_fill_periodic(cfg, a) for a in arrs)
+    if rmask is None:
+        rmask = np.ones_like(h)
+    else:
+        rmask = _fill_periodic(cfg, np.asarray(rmask, np.float64))
+    umask = rmask * np.roll(rmask, 1, axis=-1)
+    vmask = rmask * np.roll(rmask, 1, axis=-2)
+    pmask = umask * np.roll(umask, 1, axis=-2)
+    return _assemble(cfg, h, f, pm, pn, xr,
+                     np.asarray(yr, np.float64), rmask, umask, vmask,
+                     pmask, angler=angler)
+
+
 def build_spherical_grid(cfg: Config, lon_size: float, lat_min: float,
                          lat_size: float, depth_fn: Callable):
     """Spherical strip grid (BENCHMARK path, ana_grid.h:460-479,676-686).

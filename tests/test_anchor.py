@@ -45,6 +45,12 @@ def test_upwelling_10step_anchor():
     t0 = inter(s.t)[0]
 
     np.testing.assert_allclose(zeta, ref["zeta"], rtol=0, atol=1e-12)
+    # full-field pins (VERDICT r4 weak #8: the ::8 subsamples left 98%
+    # of points unguarded; the round-4 subsample pins are retained and
+    # the full u/v/temp fields pinned alongside)
+    np.testing.assert_allclose(u, ref["u_full"], rtol=0, atol=1e-13)
+    np.testing.assert_allclose(v, ref["v_full"], rtol=0, atol=1e-13)
+    np.testing.assert_allclose(t0, ref["temp_full"], rtol=0, atol=1e-10)
     np.testing.assert_allclose(u[:, ::8, ::8], ref["u_sub"],
                                rtol=0, atol=1e-13)
     np.testing.assert_allclose(v[:, ::8, ::8], ref["v_sub"],
