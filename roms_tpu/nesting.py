@@ -445,6 +445,111 @@ def fine2coarse(cfg_c: Config, state_c, cfg_f: Config, state_f,
 
 
 # ---------------------------------------------------------------------------
+# conservative contact-flux reconciliation (the in-step nmflx/n2way
+# flux-substitution analog)
+# ---------------------------------------------------------------------------
+def contact_flux_correction(cfg_c: Config, grid_c: Grid, sc_new,
+                            cfg_f: Config, spec: RefineSpec,
+                            Tf: dict, margin: int = 1):
+    """Reconcile the coarse step with the fine grid's time-integrated
+    contact transports.
+
+    The reference substitutes the refined grid's mass fluxes into the
+    donor's continuity/tracer updates at its in-step sync points
+    (ROMS/Nonlinear/nesting.F:41-60 check_massflux; main3d.F nmflx /
+    n2way calls).  Under the one-parent-step coupling this is
+    algebraically equivalent to correcting, after the fact, the first
+    coarse cell OUTSIDE the replaced block: its contact-face transport
+    used by the coarse step (dt * DU_avg2) is replaced by the fine
+    grid's substep-integrated transport through the same geometric
+    line.  The zeta correction restores exact global volume
+    conservation; the tracer columns are rescaled with a face tracer so
+    a spatially constant tracer is exactly unchanged (constancy +
+    volume hold SIMULTANEOUSLY - the round-4 gap).
+
+    Tf: dict with keys "w","e","s","n" holding the fine-integrated
+    transports per coarse contact face of the REPLACED block (built by
+    make_nested_stepper's substep loop; same orientation/sign as the
+    coarse DU_avg2/DV_avg2 faces)."""
+    r = spec.factor
+    Hc = cfg_c.halo
+    m = margin
+    cj0, cj1 = Hc + spec.jstr - 1 + m, Hc + spec.jend - m
+    ci0, ci1 = Hc + spec.istr - 1 + m, Hc + spec.iend - m
+    dtc = cfg_c.dt
+    pmn = grid_c.pm * grid_c.pn
+    zeta = sc_new.zeta
+    t = sc_new.t
+    D = grid_c.h + zeta
+
+    def col_correct(zeta, t, jsl, i_out, dV):
+        """Apply a volume correction dV (m3 per cell) to the outside
+        rho column i_out over rows jsl; rescale tracers with the
+        face-mean tracer (constancy-exact)."""
+        dz = pmn[jsl, i_out] * dV
+        zeta = zeta.at[jsl, i_out].add(dz)
+        ratio = dz / D[jsl, i_out]                   # dV/Vol per column
+        # face tracer: mean of the outside cell and the block edge cell
+        i_in = i_out + 1 if i_out < ci0 else i_out - 1
+        t_face = 0.5 * (t[..., jsl, i_out] + t[..., jsl, i_in])
+        t = t.at[..., jsl, i_out].set(
+            (t[..., jsl, i_out] + ratio * t_face) / (1.0 + ratio))
+        return zeta, t
+
+    def row_correct(zeta, t, j_out, isl, dV):
+        dz = pmn[j_out, isl] * dV
+        zeta = zeta.at[j_out, isl].add(dz)
+        ratio = dz / D[j_out, isl]
+        j_in = j_out + 1 if j_out < cj0 else j_out - 1
+        t_face = 0.5 * (t[..., j_out, isl] + t[..., j_in, isl])
+        t = t.at[..., j_out, isl].set(
+            (t[..., j_out, isl] + ratio * t_face) / (1.0 + ratio))
+        return zeta, t
+
+    jsl = slice(cj0, cj1)
+    isl = slice(ci0, ci1)
+    # coarse step's contact-face transports (m3): dt * DU_avg2
+    Tc_w = dtc * sc_new.DU_avg2[jsl, ci0]
+    Tc_e = dtc * sc_new.DU_avg2[jsl, ci1]
+    Tc_s = dtc * sc_new.DV_avg2[cj0, isl]
+    Tc_n = dtc * sc_new.DV_avg2[cj1, isl]
+    # west outside cell (col ci0-1): its east-face flux F is replaced
+    # by the fine transport: dV_out = +(Tc - Tf) (it "gets back" what
+    # the coarse step over-exported when Tf < Tc)
+    zeta, t = col_correct(zeta, t, jsl, ci0 - 1, Tc_w - Tf["w"])
+    zeta, t = col_correct(zeta, t, jsl, ci1, Tf["e"] - Tc_e)
+    zeta, t = row_correct(zeta, t, cj0 - 1, isl, Tc_s - Tf["s"])
+    zeta, t = row_correct(zeta, t, cj1, isl, Tf["n"] - Tc_n)
+
+    from .ops import bc
+    return sc_new.replace(zeta=bc.fill_halo(cfg_c, zeta),
+                          t=bc.fill_halo(cfg_c, t))
+
+
+def _fine_contact_transports(cfg_f: Config, sf, spec: RefineSpec,
+                             njc: int, nic: int, margin: int = 1):
+    """One fine substep's transports through the replaced-block contact
+    faces, grouped r fine faces -> 1 coarse face (m3/s * dt_f -> m3)."""
+    r = spec.factor
+    Hf = cfg_f.halo
+    m = margin
+    dtf = cfg_f.dt
+    fj0 = Hf + m * r
+    fi0 = Hf + m * r
+
+    def grp_u(col):
+        seg = sf.DU_avg2[fj0:fj0 + njc * r, col]
+        return dtf * seg.reshape(njc, r).sum(-1)
+
+    def grp_v(row):
+        seg = sf.DV_avg2[row, fi0:fi0 + nic * r]
+        return dtf * seg.reshape(nic, r).sum(-1)
+
+    return {"w": grp_u(fi0), "e": grp_u(fi0 + nic * r),
+            "s": grp_v(fj0), "n": grp_v(fj0 + njc * r)}
+
+
+# ---------------------------------------------------------------------------
 # nested stepping driver (main3d's 14 nesting sync points, reduced to
 # the refinement schedule: coarse step -> factor fine steps -> feedback)
 # ---------------------------------------------------------------------------
@@ -453,18 +558,20 @@ def make_nested_stepper(cfg_c: Config, grid_c: Grid, cfg_f: Config,
                         forcing_c: Optional[Callable] = None,
                         forcing_f: Optional[Callable] = None,
                         two_way: bool = True,
-                        conserve: bool = False):
+                        conserve: bool = False,
+                        flux_coupling: bool = False):
     """Returns jitted step_nested(state_c, state_f) -> (state_c, state_f)
     advancing the pair by one PARENT step.
 
     conserve=True enables the contact-line mass-flux correction
     (conserve_bry_flux, the check_massflux analog) and Hz-weighted
-    conservative fine->coarse feedback.  Trade-off of this sequential
-    coupling: the corrected boundary velocities are no longer exactly
-    consistent with the clamped zeta/t rings, so exact tracer constancy
-    (default path, ~1e-9) degrades to ~1e-5; the reference reconciles
-    both by substituting fluxes inside the coarse continuity update at
-    its in-step sync points (PARITY.md documents the gap)."""
+    conservative fine->coarse feedback.
+
+    flux_coupling=True additionally reconciles the coarse step with the
+    fine grid's substep-integrated contact transports
+    (contact_flux_correction - the nesting.F nmflx/n2way in-step
+    flux-substitution analog): global volume conservation AND tracer
+    constancy then hold simultaneously (the round-4 PARITY gap)."""
     from . import stepping
 
     def step_nested(sc, sf):
@@ -477,6 +584,11 @@ def make_nested_stepper(cfg_c: Config, grid_c: Grid, cfg_f: Config,
             bry1 = conserve_bry_flux(cfg_c, grid_c, sc_new, spec,
                                      cfg_f, grid_f, bry1)
         r = spec.factor
+        m = 1
+        Hc = cfg_c.halo
+        njc = (Hc + spec.jend - m) - (Hc + spec.jstr - 1 + m)
+        nic = (Hc + spec.iend - m) - (Hc + spec.istr - 1 + m)
+        Tf = None
         for msub in range(1, r + 1):
             w = msub / r
             bry = {k: (1.0 - w) * bry0[k] + w * bry1[k] for k in bry0}
@@ -488,9 +600,17 @@ def make_nested_stepper(cfg_c: Config, grid_c: Grid, cfg_f: Config,
                 return frc
 
             sf = stepping.step(cfg_f, grid_f, sf, ffn_f)
+            if flux_coupling:
+                Ts = _fine_contact_transports(cfg_f, sf, spec, njc,
+                                              nic, margin=m)
+                Tf = Ts if Tf is None else \
+                    {k: Tf[k] + Ts[k] for k in Tf}
         if two_way:
             sc_new = fine2coarse(cfg_c, sc_new, cfg_f, sf, spec,
                                  grid_f=grid_f if conserve else None)
+            if flux_coupling:
+                sc_new = contact_flux_correction(
+                    cfg_c, grid_c, sc_new, cfg_f, spec, Tf, margin=m)
         return sc_new, sf
 
     return jax.jit(step_nested)
