@@ -34,7 +34,49 @@ class Simulation:
     AVG_FIELDS = ("zeta", "ubar", "vbar", "u", "v", "t", "Akv", "Akt",
                   "hsbl", "hbbl", "tke", "DU_avg1", "DV_avg1")
     AVG_OUT = ("zeta", "ubar", "vbar", "u", "v", "temp", "salt", "AKv",
-               "AKt", "hsbl", "hbbl", "tke", "DU_avg1", "DV_avg1")
+               "AKt", "hsbl", "hbbl", "tke", "DU_avg1", "DV_avg1",
+               "zeta2", "ubar2", "vbar2", "uu", "vv", "uv", "Huon",
+               "Hvom", "rho")
+
+    # quadratic / derived accumulators (set_avg.F:2352-3952: squared
+    # prognostics for eddy statistics, mass fluxes, in-situ density)
+    @staticmethod
+    def _avg_derived():
+        import jax.numpy as jnp
+        from . import vgrid
+        from .grid import hc_of
+        from .ops import eos
+        from .ops.omega import set_massflux
+
+        def huon(cfg, grid, s):
+            _, _, Hz = vgrid.set_depth(
+                grid.h, s.zeta, hc_of(cfg), grid.sc_r, grid.Cs_r,
+                grid.sc_w, grid.Cs_w, cfg.vtransform, zice=grid.zice)
+            return set_massflux(cfg, grid, s.u, s.v, Hz)[0]
+
+        def hvom(cfg, grid, s):
+            _, _, Hz = vgrid.set_depth(
+                grid.h, s.zeta, hc_of(cfg), grid.sc_r, grid.Cs_r,
+                grid.sc_w, grid.Cs_w, cfg.vtransform, zice=grid.zice)
+            return set_massflux(cfg, grid, s.u, s.v, Hz)[1]
+
+        def rho(cfg, grid, s):
+            z_r, _, _ = vgrid.set_depth(
+                grid.h, s.zeta, hc_of(cfg), grid.sc_r, grid.Cs_r,
+                grid.sc_w, grid.Cs_w, cfg.vtransform, zice=grid.zice)
+            return eos.rho_eos(cfg, s.t, z_r)
+
+        from .ops.stencil import ip1, jp1
+        return {
+            "zeta2": lambda c, g, s: s.zeta * s.zeta,
+            "ubar2": lambda c, g, s: s.ubar * s.ubar,
+            "vbar2": lambda c, g, s: s.vbar * s.vbar,
+            "uu": lambda c, g, s: (0.5 * (s.u + ip1(s.u))) ** 2,
+            "vv": lambda c, g, s: (0.5 * (s.v + jp1(s.v))) ** 2,
+            "uv": lambda c, g, s: 0.25 * (s.u + ip1(s.u)) *
+                                  (s.v + jp1(s.v)),
+            "Huon": huon, "Hvom": hvom, "rho": rho,
+        }
     QCK_FIELDS = ("zeta", "ubar", "vbar", "temp_sur", "salt_sur",
                   "u_sur", "v_sur")
 
@@ -86,9 +128,11 @@ class Simulation:
         elif avg_on:
             # averaging accumulates ON DEVICE every step so batched
             # dispatch (steps_per_call > 1) still samples each state
+            drv = self._avg_derived()
             self._step = jax.jit(
                 lambda s: stepping.run_accum(cfg, grid, s, n, forcing_fn,
-                                             fields=self.AVG_FIELDS),
+                                             fields=self.AVG_FIELDS,
+                                             derived=drv),
                 donate_argnums=(0,))
         elif n == 1:
             self._step = stepping.make_stepper(cfg, grid, forcing_fn,
@@ -170,11 +214,15 @@ class Simulation:
                 with self.profiler.region("output: averages"):
                     mean = jax.device_get(jax.tree_util.tree_map(
                         lambda a: a / self.navg, self._avg_acc))
-                    rec = self.state.replace(**mean)
+                    state_part = {k: mean[k] for k in self.AVG_FIELDS}
+                    extra = {k: v for k, v in mean.items()
+                             if k not in self.AVG_FIELDS}
+                    rec = self.state.replace(**state_part)
                     self.avg_writer.write(
                         jax.device_get(rec),
                         time=float(self.state.time) -
-                        0.5 * self.navg * self.cfg.dt)
+                        0.5 * self.navg * self.cfg.dt,
+                        extra=extra)
                     self._avg_acc = None
             if self.dia_writer and iic % self.ndia == 0 and \
                     self._dia_acc is not None:

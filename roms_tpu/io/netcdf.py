@@ -106,8 +106,11 @@ class HistoryWriter:
     SURFACE = {"temp_sur": ("t", 0), "salt_sur": ("t", 1),
                "u_sur": ("u", None), "v_sur": ("v", None)}
 
-    def extract(self, state, name: str) -> np.ndarray:
-        """Resolve an output field name against a State."""
+    def extract(self, state, name: str, extra=None) -> np.ndarray:
+        """Resolve an output field name against a State (or the
+        `extra` dict of derived records - the quadratic averages)."""
+        if extra is not None and name in extra:
+            return np.asarray(extra[name])
         if name in self._tracer_idx:
             return np.asarray(state.t[self._tracer_idx[name]])
         if name in self.SURFACE:
@@ -122,14 +125,16 @@ class HistoryWriter:
             a = a[0]
         return a
 
-    def write(self, state, time: Optional[float] = None):
-        """Append one record from a State (or dict of arrays)."""
+    def write(self, state, time: Optional[float] = None, extra=None):
+        """Append one record from a State (or dict of arrays); extra
+        supplies derived fields not carried by State (set_avg.F
+        quadratic averages)."""
         n = self._nrec
         t = float(state.time) if time is None else time
         self._tvar[n] = t
         rec_sums: Dict[str, int] = {}
         for name in self.fields:
-            a = _interior(self.cfg, self.extract(state, name))
+            a = _interior(self.cfg, self.extract(state, name, extra))
             self._vars[name][n] = a
             rec_sums[name] = adler32(a)
         self.checksums.append(rec_sums)

@@ -75,6 +75,23 @@ REGISTRY = {
     "omega": VarInfo("omega", "S-coordinate vertical momentum component",
                      "meter3 second-1", "w3"),
     "rho": VarInfo("rho", "density anomaly", "kilogram meter-3", "r3"),
+    # quadratic / derived time-average fields (set_avg.F:2352-3952)
+    "zeta2": VarInfo("zeta2", "time-averaged squared free-surface",
+                     "meter2", "r2"),
+    "ubar2": VarInfo("ubar2", "time-averaged squared vertically "
+                     "integrated u-momentum", "meter2 second-2", "u2"),
+    "vbar2": VarInfo("vbar2", "time-averaged squared vertically "
+                     "integrated v-momentum", "meter2 second-2", "v2"),
+    "uu": VarInfo("uu", "time-averaged squared u-momentum",
+                  "meter2 second-2", "r3"),
+    "vv": VarInfo("vv", "time-averaged squared v-momentum",
+                  "meter2 second-2", "r3"),
+    "uv": VarInfo("uv", "time-averaged u-momentum times v-momentum",
+                  "meter2 second-2", "r3"),
+    "Huon": VarInfo("Huon", "time-averaged u-momentum flux, Huon",
+                    "meter3 second-1", "r3"),
+    "Hvom": VarInfo("Hvom", "time-averaged v-momentum flux, Hvom",
+                    "meter3 second-1", "r3"),
     "sustr": VarInfo("sustr", "surface u-momentum stress",
                      "newton meter-2", "u2"),
     "svstr": VarInfo("svstr", "surface v-momentum stress",

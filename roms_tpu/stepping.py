@@ -128,7 +128,8 @@ def step(cfg: Config, grid: Grid, state: State,
 
     # --- vertical grid and mass fluxes at time n (main3d.F:307) ---
     from .ops import diag_pallas
-    ns_active = cfg.nearshore == "mellor05" and "Hwave" in frc
+    ns_active = cfg.nearshore in ("mellor05", "mellor08") and \
+        "Hwave" in frc
     diag_fused = (diag_pallas.use_pallas(cfg) and grid.zice is None
                   and not ns_active)
     bvf = None
@@ -155,12 +156,19 @@ def step(cfg: Config, grid: Grid, state: State,
     # --- wave radiation stresses + Stokes drift (main3d's
     #     radiation_stress call; ops/nearshore.py Mellor05) ---
     ns = None
-    if cfg.nearshore == "mellor05" and "Hwave" in frc:
-        from .ops.nearshore import radiation_stress
-        ns = radiation_stress(
-            cfg, grid, state.zeta, Hz, grid.Cs_r, grid.Cs_w,
-            frc["Hwave"], frc.get("Dwave", zero2),
-            frc.get("Lwave", zero2 + 100.0))
+    if ns_active:
+        if cfg.nearshore == "mellor08":
+            from .ops.nearshore import radiation_stress08
+            ns = radiation_stress08(
+                cfg, grid, state.zeta, Hz, z_r, grid.Cs_r, grid.Cs_w,
+                frc["Hwave"], frc.get("Dwave", zero2),
+                frc.get("Lwave", zero2 + 100.0))
+        else:
+            from .ops.nearshore import radiation_stress
+            ns = radiation_stress(
+                cfg, grid, state.zeta, Hz, grid.Cs_r, grid.Cs_w,
+                frc["Hwave"], frc.get("Dwave", zero2),
+                frc.get("Lwave", zero2 + 100.0))
         # Stokes transport enters every advective mass flux
         # (set_massflux.F:140-160)
         Huon = Huon + 0.5 * (Hz + jnp.roll(Hz, 1, -1)) * ns.u_stokes * \
@@ -629,18 +637,31 @@ def run(cfg: Config, grid: Grid, state: State, nsteps: int,
 
 def run_accum(cfg: Config, grid: Grid, state: State, nsteps: int,
               forcing_fn: Optional[Callable] = None,
-              fields: tuple = ("zeta", "ubar", "vbar", "u", "v", "t")):
+              fields: tuple = ("zeta", "ubar", "vbar", "u", "v", "t"),
+              derived: Optional[dict] = None):
     """Advance nsteps and accumulate per-step sums of the named State
     fields ON DEVICE (the mod_average.F accumulators, sampled every step
     as set_avg.F does - correct for any steps-per-dispatch batching).
-    Returns (state, sums dict)."""
+
+    derived: optional {name: fn(cfg, grid, state) -> array} computed and
+    accumulated alongside (the set_avg.F:2352-3952 quadratic/derived
+    fields: u*u, Huon means, rho, ...).  Returns (state, sums dict)."""
+    derived = derived or {}
+
+    def dvals(s):
+        return {k: fn(cfg, grid, s) for k, fn in derived.items()}
+
     def body(carry, _):
         s, acc = carry
         s = step(cfg, grid, s, forcing_fn)
-        acc = {k: acc[k] + getattr(s, k) for k in fields}
+        dv = dvals(s)
+        acc = {**{k: acc[k] + getattr(s, k) for k in fields},
+               **{k: acc[k] + dv[k] for k in derived}}
         return (s, acc), None
 
     acc0 = {k: jnp.zeros_like(getattr(state, k)) for k in fields}
+    acc0.update({k: jnp.zeros_like(v)
+                 for k, v in dvals(state).items()})
     (state, sums), _ = jax.lax.scan(body, (state, acc0), None,
                                     length=nsteps)
     return state, sums

@@ -51,6 +51,10 @@ CASES = {
     "riverplume2": ("roms_tpu.models.cases2", "riverplume2", None),
     "weddell": ("roms_tpu.models.cases2", "weddell", None),
     "bl_test": ("roms_tpu.models.cases2", "bl_test", None),
+    "lab_canyon": ("roms_tpu.models.cases4", "lab_canyon", None),
+    "channel_neck": ("roms_tpu.models.cases4", "channel_neck", None),
+    "inlet_test": ("roms_tpu.models.cases4", "inlet_test", None),
+    "test_head": ("roms_tpu.models.cases4", "test_head", None),
 }
 
 
@@ -80,10 +84,43 @@ def build_from_dict(doc: dict):
         else:
             from ..state import initial_state
             state0 = initial_state(cfg)
+        # surface forcing file (FRCNAME analog): named time series read
+        # through forcing.series_from_netcdf + two-snapshot interpolation
+        forcing_fn = None
+        frc_path = doc.get("frc_file")
+        if frc_path:
+            from .. import forcing as _frc
+            frc_vars = doc.get("frc_vars", {
+                "sustr": "sms_time", "svstr": "sms_time",
+                "shflux": "shf_time", "swrad": "srf_time"})
+            cycle = doc.get("frc_cycle")
+            from scipy.io import netcdf_file
+            with netcdf_file(frc_path, "r", mmap=False) as fnc:
+                present = {v: tv for v, tv in frc_vars.items()
+                           if v in fnc.variables}
+            series = {v: _frc.series_from_netcdf(frc_path, v, tv,
+                                                 cfg=cfg, cycle=cycle)
+                      for v, tv in present.items()}
+            # shflux (W/m2) -> kinematic heat flux enters stflux[0]
+            def forcing_fn(c, g, t, _series=series):
+                out = {}
+                for v, fs in _series.items():
+                    out[v] = _frc.series_interp(fs, t)
+                if "shflux" in out:
+                    import jax.numpy as jnp
+                    rho0cp = c.rho0 * 3985.0
+                    st = jnp.zeros((max(c.ntracers, 1),) +
+                                   out["shflux"].shape,
+                                   out["shflux"].dtype)
+                    out["stflux"] = st.at[0].set(out.pop("shflux") /
+                                                 rho0cp)
+                if "swrad" in out:
+                    out["srflx"] = out.pop("swrad") / (c.rho0 * 3985.0)
+                return out
         run_opts = dict(doc.get("output", {}) or {})
         run_opts["nsteps"] = int(doc.get("nsteps", 0))
         run_opts["mode"] = "3d"
-        return cfg, grid, state0, None, run_opts
+        return cfg, grid, state0, forcing_fn, run_opts
     if case not in CASES:
         raise ValueError(f"unknown case '{case}'; known: {sorted(CASES)}")
     modname, buildname, mkcfgname = CASES[case]

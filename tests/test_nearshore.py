@@ -152,3 +152,54 @@ def test_stokes_transport_consistency_and_constancy():
     # the waves actually transport: mean flow responds to the oblique
     # wave forcing
     assert np.abs(np.asarray(s.vbar)).max() > 1.0e-5
+
+
+def test_mellor08_variant(setup):
+    """Mellor (2008) kernel (nearshore_mellor08.h): same physical
+    invariants as the 2005 form - shoaling-gradient force sign,
+    comparable magnitude - plus full-step integration."""
+    from roms_tpu.ops.nearshore import radiation_stress08
+    cfg, grid, s0, ffn, Hz = setup
+    hc = hc_of(cfg)
+    z_r, z_w, _ = vgrid.set_depth(grid.h, s0.zeta, hc, grid.sc_r,
+                                  grid.Cs_r, grid.sc_w, grid.Cs_w,
+                                  cfg.vtransform)
+    H = cfg.halo
+    yy = jnp.arange(cfg.ny_tot, dtype=grid.h.dtype)[:, None]
+    Hwave = jnp.clip(1.2 - 0.05 * (yy - H) * jnp.ones_like(grid.h),
+                     0.2, None)
+    Dwave = jnp.full_like(grid.h, jnp.pi)
+    Lwave = jnp.full_like(grid.h, 80.0)
+    ns05 = radiation_stress(cfg, grid, s0.zeta, Hz, grid.Cs_r,
+                            grid.Cs_w, Hwave, Dwave, Lwave)
+    ns08 = radiation_stress08(cfg, grid, s0.zeta, Hz, z_r, grid.Cs_r,
+                              grid.Cs_w, Hwave, Dwave, Lwave)
+    sl = np.s_[H + 4:H + cfg.Mm - 4, H + 2:H + cfg.Lm - 2]
+    rv05 = np.asarray(ns05.rvstr2d)[sl]
+    rv08 = np.asarray(ns08.rvstr2d)[sl]
+    assert np.isfinite(np.asarray(ns08.rvstr3d)).all()
+    assert rv08.mean() < 0.0                  # same force direction
+    # same order of magnitude as the 2005 form
+    assert 0.1 < abs(rv08.mean() / rv05.mean()) < 10.0
+    # depth-integrated stress is the Hz-weighted sum of levels
+    np.testing.assert_allclose(
+        np.asarray(ns08.rustr2d), np.asarray(ns08.rustr3d).sum(0),
+        rtol=1e-12, atol=1e-12)
+
+    # full-step integration under cfg.nearshore="mellor08"
+    import dataclasses
+    cfg_ns = dataclasses.replace(cfg, nearshore="mellor08")
+
+    def ffn_waves(c, g, t):
+        out = dict(ffn(c, g, t)) if ffn else {}
+        yyl = jnp.arange(g.h.shape[-2], dtype=g.h.dtype)[:, None]
+        out["Hwave"] = jnp.clip(
+            1.0 - 0.04 * (yyl - c.halo) * jnp.ones_like(g.h), 0.2, None)
+        out["Dwave"] = jnp.full_like(g.h, jnp.pi)
+        out["Lwave"] = jnp.full_like(g.h, 80.0)
+        return out
+
+    run = jax.jit(lambda s: stepping.run(cfg_ns, grid, s, 3, ffn_waves))
+    s1 = run(s0)
+    assert np.isfinite(np.asarray(s1.zeta)).all()
+    assert np.isfinite(np.asarray(s1.t)).all()

@@ -130,3 +130,22 @@ def test_floats_writer(small, tmp_path):
     out = read_history(path)
     assert out["Xgrid"].shape == (2, 2)
     np.testing.assert_allclose(out["Xgrid"][0], [4.0, 6.0])
+
+
+def test_avg_quadratic_fields(small, tmp_path):
+    """set_avg.F:2352-3952 quadratic/derived averages: u*u, mass fluxes
+    and rho are accumulated every step; Cauchy-Schwarz <q2> >= <q>2
+    holds pointwise for the squared fields."""
+    cfg, grid, s0, ffn = small
+    path = str(tmp_path / "avgq.nc")
+    sim = Simulation(cfg, grid, s0, ffn, avg_file=path, navg=4,
+                     ninfo=0, log=lambda *a: None)
+    sim.run(8)
+    sim.finalize()
+    out = read_history(path)
+    for k in ("zeta2", "ubar2", "vbar2", "uu", "vv", "uv", "Huon",
+              "Hvom", "rho"):
+        assert k in out, k
+        assert np.isfinite(out[k]).all(), k
+    assert (out["zeta2"] + 1e-15 >= out["zeta"] ** 2).all()
+    assert (out["ubar2"] + 1e-15 >= out["ubar"] ** 2).all()
