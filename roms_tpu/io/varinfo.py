@@ -276,6 +276,152 @@ REGISTRY.update({
     "Zgrid": VarInfo("Zgrid", "z-grid floats locations",
                      "nondimensional", "r2"),
     # river/point sources (mod_sources)
+    # ---- budget-diagnostics stream terms (mod_ncparam idDtrc/idDu2d
+    #      families; written by io/netcdf.DiagWriter) ----
+    "temp_xadv": VarInfo("temp_xadv", "potential temperature horizontal "
+                         "xi-advection diagnostic", "Celsius second-1",
+                         "r3"),
+    "temp_yadv": VarInfo("temp_yadv", "potential temperature horizontal "
+                         "eta-advection diagnostic", "Celsius second-1",
+                         "r3"),
+    "temp_vadv": VarInfo("temp_vadv", "potential temperature vertical "
+                         "advection diagnostic", "Celsius second-1",
+                         "r3"),
+    "temp_vdiff": VarInfo("temp_vdiff", "potential temperature vertical "
+                          "diffusion diagnostic", "Celsius second-1",
+                          "r3"),
+    "temp_hdiff": VarInfo("temp_hdiff", "potential temperature "
+                          "horizontal diffusion diagnostic",
+                          "Celsius second-1", "r3"),
+    "temp_rate": VarInfo("temp_rate", "potential temperature time rate "
+                         "of change", "Celsius second-1", "r3"),
+    "salt_xadv": VarInfo("salt_xadv", "salinity horizontal xi-advection "
+                         "diagnostic", "second-1", "r3"),
+    "salt_yadv": VarInfo("salt_yadv", "salinity horizontal eta-advection "
+                         "diagnostic", "second-1", "r3"),
+    "salt_vadv": VarInfo("salt_vadv", "salinity vertical advection "
+                         "diagnostic", "second-1", "r3"),
+    "salt_vdiff": VarInfo("salt_vdiff", "salinity vertical diffusion "
+                          "diagnostic", "second-1", "r3"),
+    "salt_hdiff": VarInfo("salt_hdiff", "salinity horizontal diffusion "
+                          "diagnostic", "second-1", "r3"),
+    "salt_rate": VarInfo("salt_rate", "salinity time rate of change",
+                         "second-1", "r3"),
+    "u_prestep": VarInfo("u_prestep", "u-momentum predictor-step "
+                         "diagnostic", "meter second-2", "r3"),
+    "v_prestep": VarInfo("v_prestep", "v-momentum predictor-step "
+                         "diagnostic", "meter second-2", "r3"),
+    "u_prsgrd": VarInfo("u_prsgrd", "u-momentum pressure gradient "
+                        "diagnostic", "meter second-2", "r3"),
+    "v_prsgrd": VarInfo("v_prsgrd", "v-momentum pressure gradient "
+                        "diagnostic", "meter second-2", "r3"),
+    "u_cor": VarInfo("u_cor", "u-momentum Coriolis diagnostic",
+                     "meter second-2", "r3"),
+    "v_cor": VarInfo("v_cor", "v-momentum Coriolis diagnostic",
+                     "meter second-2", "r3"),
+    "u_xadv": VarInfo("u_xadv", "u-momentum horizontal xi-advection "
+                      "diagnostic", "meter second-2", "r3"),
+    "v_xadv": VarInfo("v_xadv", "v-momentum horizontal xi-advection "
+                      "diagnostic", "meter second-2", "r3"),
+    "u_yadv": VarInfo("u_yadv", "u-momentum horizontal eta-advection "
+                      "diagnostic", "meter second-2", "r3"),
+    "v_yadv": VarInfo("v_yadv", "v-momentum horizontal eta-advection "
+                      "diagnostic", "meter second-2", "r3"),
+    "u_vadv": VarInfo("u_vadv", "u-momentum vertical advection "
+                      "diagnostic", "meter second-2", "r3"),
+    "v_vadv": VarInfo("v_vadv", "v-momentum vertical advection "
+                      "diagnostic", "meter second-2", "r3"),
+    "u_hvisc": VarInfo("u_hvisc", "u-momentum horizontal viscosity "
+                       "diagnostic", "meter second-2", "r3"),
+    "v_hvisc": VarInfo("v_hvisc", "v-momentum horizontal viscosity "
+                       "diagnostic", "meter second-2", "r3"),
+    "u_vvisc": VarInfo("u_vvisc", "u-momentum vertical viscosity "
+                       "diagnostic", "meter second-2", "r3"),
+    "v_vvisc": VarInfo("v_vvisc", "v-momentum vertical viscosity "
+                       "diagnostic", "meter second-2", "r3"),
+    "u_rate": VarInfo("u_rate", "u-momentum time rate of change",
+                      "meter second-2", "r3"),
+    "v_rate": VarInfo("v_rate", "v-momentum time rate of change",
+                      "meter second-2", "r3"),
+    # ---- extended biology tracer names (fennel.h / npzd*.h /
+    #      ecosim.h / nemuro.h / hypoxia_srm.h state) ----
+    "NH4": VarInfo("NH4", "ammonium concentration",
+                   "millimole_nitrogen meter-3", "r3"),
+    "chlorophyll": VarInfo("chlorophyll", "chlorophyll concentration",
+                           "milligrams_chlorophyll meter-3", "r3"),
+    "oxygen": VarInfo("oxygen", "dissolved oxygen concentration",
+                      "millimole_oxygen meter-3", "r3"),
+    "TIC": VarInfo("TIC", "total inorganic carbon",
+                   "millimole_carbon meter-3", "r3"),
+    "alkalinity": VarInfo("alkalinity", "total alkalinity",
+                          "milliequivalents meter-3", "r3"),
+    "LdetritusN": VarInfo("LdetritusN", "large fraction nitrogen "
+                          "detritus concentration",
+                          "millimole_nitrogen meter-3", "r3"),
+    "SdetritusN": VarInfo("SdetritusN", "small fraction nitrogen "
+                          "detritus concentration",
+                          "millimole_nitrogen meter-3", "r3"),
+    "PO4": VarInfo("PO4", "phosphate concentration",
+                   "millimole_phosphorus meter-3", "r3"),
+    "opal": VarInfo("opal", "particulate organic silica concentration",
+                    "millimole_silica meter-3", "r3"),
+    "SiOH4": VarInfo("SiOH4", "silicate concentration",
+                     "millimole_silica meter-3", "r3"),
+    # ---- sediment per-class state (sediment_mod.h idsand/idmud) ----
+    "sand_01": VarInfo("sand_01", "suspended noncohesive sediment, "
+                       "size class 01", "kilogram meter-3", "r3"),
+    "mud_01": VarInfo("mud_01", "suspended cohesive sediment, size "
+                      "class 01", "kilogram meter-3", "r3"),
+    "sandfrac_01": VarInfo("sandfrac_01", "noncohesive sediment "
+                           "fraction, size class 01", "nondimensional",
+                           "r2"),
+    "bed_age": VarInfo("bed_age", "sediment layer age", "seconds",
+                       "r2"),
+    "bed_biodiff": VarInfo("bed_biodiff", "biodiffusivity at the "
+                           "bottom of each layer", "meter2 second-1",
+                           "r2"),
+    "bedload_Usand_01": VarInfo("bedload_Usand_01", "bed load flux of "
+                                "sand in xi-direction, class 01",
+                                "kilogram meter-1 second-1", "u2"),
+    "bedload_Vsand_01": VarInfo("bedload_Vsand_01", "bed load flux of "
+                                "sand in eta-direction, class 01",
+                                "kilogram meter-1 second-1", "v2"),
+    # ---- grid / domain extras (grid NetCDF variables) ----
+    "zice": VarInfo("zice", "ice shelf draft", "meter", "r2"),
+    "dndx": VarInfo("dndx", "xi-derivative of inverse metric factor "
+                    "pn", "meter", "r2"),
+    "dmde": VarInfo("dmde", "eta-derivative of inverse metric factor "
+                    "pm", "meter", "r2"),
+    "xl": VarInfo("xl", "basin length in the xi-direction", "meter",
+                  "r2"),
+    "el": VarInfo("el", "basin length in the eta-direction", "meter",
+                  "r2"),
+    "spherical": VarInfo("spherical", "grid type logical switch",
+                         "nondimensional", "r2"),
+    "visc_factor": VarInfo("visc_factor", "horizontal viscosity "
+                           "sponge factor", "nondimensional", "r2"),
+    "diff_factor": VarInfo("diff_factor", "horizontal diffusivity "
+                           "sponge factor", "nondimensional", "r2"),
+    "wetdry_mask_rho": VarInfo("wetdry_mask_rho", "wet/dry mask on "
+                               "RHO-points", "nondimensional", "r2"),
+    "wetdry_mask_u": VarInfo("wetdry_mask_u", "wet/dry mask on "
+                             "U-points", "nondimensional", "u2"),
+    "wetdry_mask_v": VarInfo("wetdry_mask_v", "wet/dry mask on "
+                             "V-points", "nondimensional", "v2"),
+    # ---- surface forcing extras (frc NetCDF variables) ----
+    "sms_time": VarInfo("sms_time", "surface momentum stress time",
+                        "days", "r2"),
+    "shf_time": VarInfo("shf_time", "surface heat flux time", "days",
+                        "r2"),
+    "srf_time": VarInfo("srf_time", "solar shortwave radiation time",
+                        "days", "r2"),
+    "SST": VarInfo("SST", "sea surface temperature climatology",
+                   "Celsius", "r2"),
+    "dQdSST": VarInfo("dQdSST", "surface net heat flux sensitivity to "
+                      "sea surface temperature",
+                      "watts meter-2 Celsius-1", "r2"),
+    "wvel": VarInfo("wvel", "vertical velocity", "meter second-1",
+                    "w3"),
     "river_transport": VarInfo("river_transport", "river runoff "
                                "vertically integrated mass transport",
                                "meter3 second-1", "r2"),

@@ -118,15 +118,15 @@ def eos_fused(cfg: Config, t, z_r, z_w, want_bvf: bool,
     def kernel(*refs):
         if want_bvf:
             t_r, zr_r, zw_r, rho_o, pden_o, bvf_o = refs
+            # JM95 polynomials evaluated once for rho/pden AND bvf
+            rho, pden, bvf = _eos.rho_eos_pden_bvf(
+                cfg, t_r[...], zr_r[...], zw_r[...])
+            bvf_o[...] = bvf
         else:
             t_r, zr_r, rho_o, pden_o = refs
-        t_ = t_r[...]
-        rho, pden = _eos.rho_eos_pden(cfg, t_, zr_r[...])
+            rho, pden = _eos.rho_eos_pden(cfg, t_r[...], zr_r[...])
         rho_o[...] = rho
         pden_o[...] = pden
-        if want_bvf:
-            bvf_o[...] = _eos.brunt_vaisala(cfg, t_, zr_r[...],
-                                            zw_r[...])
 
     ins = [t, z_r] + ([z_w] if want_bvf else [])
     outs = [jax.ShapeDtypeStruct(s3, dtype)] * 2 + \
