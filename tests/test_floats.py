@@ -112,3 +112,57 @@ def test_floats_with_sharded_fields_match_single_device():
                                np.asarray(fl_ref.yg), atol=1e-10)
     np.testing.assert_allclose(np.asarray(fl_par.zg),
                                np.asarray(fl_ref.zg), atol=1e-8)
+
+
+def test_float_behaviors():
+    """FLOAT_BIOLOGY behaviors (biology_floats.F / oyster_floats.h):
+    diel migration targets flip day/night; oyster larvae grow, sink
+    faster as they grow (SR law), swim up in rising salinity, and
+    settle near the bed at settlement size."""
+    import jax.numpy as jnp
+    import numpy as np
+    from roms_tpu import float_behavior as fb
+    from roms_tpu.models import upwelling
+
+    cfg = upwelling.make_config(Lm=8, Mm=8, N=4, ndtfast=6)
+    cfg, grid, s0, ffn = upwelling.build(cfg)
+
+    # diel migration: day -> swim down toward z_day, night -> up
+    z = jnp.full((5,), -20.0)
+    w_day = fb.diel_migration_w(cfg, z, time=12.0 * 3600.0)
+    w_night = fb.diel_migration_w(cfg, z, time=0.0)
+    assert float(w_day.max()) < 0.0       # toward -40 m
+    assert float(w_night.min()) > 0.0     # toward -5 m
+
+    # oyster larvae
+    p = fb.OysterParams()
+    st = fb.init_oysters(4, p)
+    temp = jnp.full((4,), p.temp_opt)
+    salt = jnp.full((4,), p.salt_opt)
+    zf = jnp.array([-5.0, -5.0, -74.5, -5.0])
+    hf = jnp.full((4,), 75.0)
+    st1, w1 = fb.oyster_behavior(cfg, p, st, temp, salt,
+                                 jnp.zeros((4,)), zf, hf)
+    assert (np.asarray(st1.size) > np.asarray(st.size)).all()  # growth
+    # rising salinity -> more swimming -> larger w than falling
+    st_up, w_up = fb.oyster_behavior(cfg, p, st, temp, salt,
+                                     jnp.full((4,), 0.5), zf, hf)
+    st_dn, w_dn = fb.oyster_behavior(cfg, p, st, temp, salt,
+                                     jnp.full((4,), -0.5), zf, hf)
+    assert (np.asarray(w_up) > np.asarray(w_dn)).all()
+    # bigger larvae sink faster (SR law)
+    big = st._replace(size=jnp.full((4,), 320.0),
+                      swim_time=jnp.full((4,), p.swim_Tmin))
+    sml = st._replace(size=jnp.full((4,), 120.0),
+                      swim_time=jnp.full((4,), p.swim_Tmin))
+    _, w_big = fb.oyster_behavior(cfg, p, big, temp, salt,
+                                  jnp.zeros((4,)), zf, hf)
+    _, w_sml = fb.oyster_behavior(cfg, p, sml, temp, salt,
+                                  jnp.zeros((4,)), zf, hf)
+    assert (np.asarray(w_big) < np.asarray(w_sml)).all()
+    # settlement: settlement-size larva near the bed settles, w -> 0
+    ready = st._replace(size=jnp.full((4,), p.size_settle + 1.0))
+    st2, w2 = fb.oyster_behavior(cfg, p, ready, temp, salt,
+                                 jnp.zeros((4,)), zf, hf)
+    assert float(st2.settled[2]) == 1.0 and float(w2[2]) == 0.0
+    assert float(st2.settled[0]) == 0.0
