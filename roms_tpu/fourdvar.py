@@ -7,8 +7,11 @@ background covariance), with the crucial difference that the tangent-linear
 and adjoint models are jax.jvp/jax.vjp of the nonlinear step instead of the
 hand-coded ROMS/Tangent + ROMS/Adjoint mirrors (SURVEY.md §2.8).
 
-Control vector: initial-condition increments of (zeta, u, v, t).
-Background covariance: B = Sigma C Sigma with C a diffusion-operator
+Control vector: initial-condition increments of (zeta, u, v, t), plus
+optionally surface-forcing increments ("sustr"/"svstr" - piecewise-
+constant over the window, the frc_adjust.F analog) and open-boundary
+data increments ("bry:zeta_west", ... - the obc_adjust.F analog); see
+_make_ops.  Background covariance: B = Sigma C Sigma with C a diffusion-operator
 correlation (iterated Laplacian smoothing, the reference's convolve.F
 approach) and Sigma diagonal standard deviations.
 Inner loop: CG on the Gauss-Newton normal equations
