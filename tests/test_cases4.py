@@ -109,6 +109,7 @@ def test_test_head_curvilinear_tide():
     assert float(jnp.abs(s.ubar).max()) < 5.0
 
 
+@pytest.mark.smoke
 def test_soliton_quantitative_speed_amplitude():
     """Quantitative SOLITON norms (VERDICT r4 weak #4): measured phase
     speed against the Boyd solution's celerity and amplitude retention,
@@ -148,6 +149,7 @@ def test_soliton_quantitative_speed_amplitude():
     assert a1 > 0.80 * a0, (a0, a1)
 
 
+@pytest.mark.smoke
 def test_kelvin_quantitative_decay_and_phase():
     """Quantitative KELVIN norms: offshore e-folding scale against
     c/f = sqrt(gH)/f and boundary phase speed."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from roms_tpu.models import upwelling
 from roms_tpu import stepping, floats
@@ -114,6 +115,7 @@ def test_floats_with_sharded_fields_match_single_device():
                                np.asarray(fl_ref.zg), atol=1e-8)
 
 
+@pytest.mark.smoke
 def test_float_behaviors():
     """FLOAT_BIOLOGY behaviors (biology_floats.F / oyster_floats.h):
     diel migration targets flip day/night; oyster larvae grow, sink
